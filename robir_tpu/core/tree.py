@@ -1,0 +1,80 @@
+"""Pytree path utilities: filtering, merging, partial restore.
+
+These are the TPU-native replacement for the reference's cross-stage
+checkpoint "surgery" done by state-dict key filtering (e.g. keeping only
+``normal_decoder_layer`` keys, reference ``training/train_pbr.py:157-159``,
+or splitting a Vis checkpoint by key prefix, ``train_pbr.py:195-203``).
+Here parameters are nested dicts and surgery is explicit path filtering.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+
+Params = Any  # nested dict pytree of jnp arrays
+
+
+def flatten_with_paths(tree: Params, sep: str = "/") -> dict[str, jnp.ndarray]:
+    """Flatten a nested dict into {'a/b/c': leaf} form."""
+    out: dict[str, jnp.ndarray] = {}
+
+    def rec(prefix: str, node: Any) -> None:
+        if isinstance(node, Mapping):
+            for k in sorted(node.keys()):
+                rec(f"{prefix}{sep}{k}" if prefix else str(k), node[k])
+        else:
+            out[prefix] = node
+
+    rec("", tree)
+    return out
+
+
+def unflatten_paths(flat: Mapping[str, Any], sep: str = "/") -> Params:
+    """Inverse of :func:`flatten_with_paths`."""
+    tree: dict[str, Any] = {}
+    for path, leaf in flat.items():
+        parts = path.split(sep)
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return tree
+
+
+def filter_tree(tree: Params, pred: Callable[[str], bool]) -> Params:
+    """Keep only leaves whose path satisfies ``pred``."""
+    flat = flatten_with_paths(tree)
+    return unflatten_paths({k: v for k, v in flat.items() if pred(k)})
+
+
+def keep_prefixes(tree: Params, prefixes: tuple[str, ...]) -> Params:
+    """Keep subtrees under the given top-level path prefixes."""
+    return filter_tree(tree, lambda p: any(p == q or p.startswith(q + "/") for q in prefixes))
+
+
+def drop_prefixes(tree: Params, prefixes: tuple[str, ...]) -> Params:
+    return filter_tree(tree, lambda p: not any(p == q or p.startswith(q + "/") for q in prefixes))
+
+
+def merge_trees(base: Params, override: Params) -> Params:
+    """Non-strict partial restore: leaves present in ``override`` replace those
+    in ``base``; everything else keeps the ``base`` value.
+
+    Equivalent of the reference's ``load_state_dict(..., strict=False)`` after
+    key filtering.
+    """
+    flat = flatten_with_paths(base)
+    over = flatten_with_paths(override)
+    unknown = set(over) - set(flat)
+    if unknown:
+        raise KeyError(f"override contains paths not in base: {sorted(unknown)[:5]} ...")
+    flat.update(over)
+    return unflatten_paths(flat)
+
+
+def tree_size_bytes(tree: Params) -> int:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return sum(x.size * x.dtype.itemsize for x in leaves)

@@ -1,0 +1,170 @@
+"""SG math tests: analytic/Monte-Carlo oracles + PyTorch reference parity."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robir_tpu.render import sg
+from tests.conftest import REFERENCE_ROOT, has_reference
+
+
+def _ref_sg_render():
+    """Import the reference sg_render module (CPU-safe functions only)."""
+    from tests.ref_loader import import_reference_module
+    return import_reference_module("model.sg_render")
+
+
+def random_sgs(rng, m):
+    sgs = rng.standard_normal((m, 7)).astype(np.float32)
+    sgs[:, 3] *= 30.0
+    return sgs
+
+
+def test_render_envmap_sg_matches_numpy():
+    rng = np.random.default_rng(0)
+    sgs = random_sgs(rng, 16)
+    dirs = rng.standard_normal((100, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    got = np.asarray(sg.render_envmap_sg(jnp.asarray(sgs), jnp.asarray(dirs)))
+
+    lobes = sgs[:, :3] / np.linalg.norm(sgs[:, :3], axis=-1, keepdims=True)
+    lam = np.abs(sgs[:, 3:4])
+    mu = np.abs(sgs[:, 4:])
+    want = np.zeros((100, 3), np.float32)
+    for i in range(100):
+        w = np.exp(lam[:, 0] * (lobes @ dirs[i] - 1.0))
+        want[i] = (mu * w[:, None]).sum(0)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+def test_hemisphere_int_vs_monte_carlo():
+    """hemisphere_int approximates int_{H^2(n)} exp(lambda(w.axis - 1)) dw
+    where cos_beta = n . axis. Tolerate the closed-form's ~few-% error."""
+    rng = np.random.default_rng(1)
+    n_mc = 400_000
+    w = rng.standard_normal((n_mc, 3))
+    w /= np.linalg.norm(w, axis=-1, keepdims=True)
+
+    for lam in [5.0, 20.0, 80.0]:
+        for cos_beta in [0.9, 0.3, 0.0, -0.4]:
+            sin_beta = np.sqrt(1 - cos_beta**2)
+            normal = np.array([0.0, 0.0, 1.0])
+            axis = np.array([sin_beta, 0.0, cos_beta])
+            mask = w @ normal > 0
+            integrand = np.exp(lam * (w @ axis - 1.0)) * mask
+            mc = integrand.mean() * 4 * np.pi
+            got = float(sg.hemisphere_int(jnp.float32(lam), jnp.float32(cos_beta)))
+            assert got == pytest.approx(mc, rel=0.08, abs=5e-3), (lam, cos_beta)
+
+
+def test_lambda_trick_product():
+    """The lambda-trick SG should approximate the pointwise product of two
+    SGs when lambda1 << lambda2."""
+    rng = np.random.default_rng(2)
+    lobe1 = np.array([0.0, 0.0, 1.0], np.float32)
+    lobe2v = np.array([0.2, 0.1, 0.97], np.float32)
+    lobe2v /= np.linalg.norm(lobe2v)
+    lam1, lam2 = 0.5, 60.0
+    mu1, mu2 = 2.0, 3.0
+
+    fl, flam, fmu = sg.lambda_trick(
+        jnp.asarray(lobe1), jnp.float32(lam1), jnp.float32(mu1),
+        jnp.asarray(lobe2v), jnp.float32(lam2), jnp.float32(mu2))
+
+    dirs = rng.standard_normal((2000, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    exact = (mu1 * np.exp(lam1 * (dirs @ lobe1 - 1))
+             * mu2 * np.exp(lam2 * (dirs @ lobe2v - 1)))
+    approx = np.asarray(fmu) * np.exp(
+        np.asarray(flam) * (dirs @ (np.asarray(fl) / np.linalg.norm(np.asarray(fl))) - 1))
+    # compare where the product has significant mass
+    sel = exact > exact.max() * 1e-3
+    np.testing.assert_allclose(approx[sel], exact[sel], rtol=0.2)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+class TestTorchParity:
+    def test_compute_envmap(self):
+        import torch
+        ref = _ref_sg_render()
+        rng = np.random.default_rng(3)
+        sgs = random_sgs(rng, 32)
+        want = ref.compute_envmap(torch.from_numpy(sgs), 32, 64).numpy()
+        got = np.asarray(sg.compute_envmap(jnp.asarray(sgs), 32, 64))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_hemisphere_int(self):
+        import torch
+        ref = _ref_sg_render()
+        rng = np.random.default_rng(4)
+        lam = np.abs(rng.standard_normal((50, 1)).astype(np.float32)) * 40 + 0.1
+        cosb = (rng.random((50, 1)).astype(np.float32) * 2 - 1)
+        want = ref.hemisphere_int(torch.from_numpy(lam), torch.from_numpy(cosb)).numpy()
+        got = np.asarray(sg.hemisphere_int(jnp.asarray(lam), jnp.asarray(cosb)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_lambda_trick(self):
+        import torch
+        ref = _ref_sg_render()
+        rng = np.random.default_rng(5)
+        lobe1 = rng.standard_normal((20, 3)).astype(np.float32)
+        lobe2 = rng.standard_normal((20, 3)).astype(np.float32)
+        lam1 = np.abs(rng.standard_normal((20, 1)).astype(np.float32))
+        lam2 = np.abs(rng.standard_normal((20, 1)).astype(np.float32)) * 50 + 5
+        mu1 = np.abs(rng.standard_normal((20, 3)).astype(np.float32))
+        mu2 = np.abs(rng.standard_normal((20, 3)).astype(np.float32))
+        t = [torch.from_numpy(a) for a in (lobe1, lam1, mu1, lobe2, lam2, mu2)]
+        wl, wlam, wmu = ref.lambda_trick(*t)
+        gl, glam, gmu = sg.lambda_trick(*[jnp.asarray(a) for a in
+                                          (lobe1, lam1, mu1, lobe2, lam2, mu2)])
+        np.testing.assert_allclose(np.asarray(gl), wl.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(glam), wlam.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gmu), wmu.numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_render_envmap_lookup(self):
+        import torch
+        import torch.nn.functional  # noqa: F401
+        ref = _ref_sg_render()
+        rng = np.random.default_rng(6)
+        envmap = rng.random((64, 128, 3)).astype(np.float32)
+        dirs = rng.standard_normal((200, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        want = ref.render_envmap(torch.from_numpy(envmap), torch.from_numpy(dirs)).numpy()
+        got = np.asarray(sg.render_envmap(jnp.asarray(envmap), jnp.asarray(dirs)))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_diffuse_visibility_weighting():
+    """With a constant-visibility oracle, the SG-weighted mean must equal the
+    fraction predicted where cos>0 weighted by SG weights."""
+    key = jax.random.PRNGKey(0)
+    n_pts, m = 5, 4
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.standard_normal((n_pts, 3)).astype(np.float32))
+    normals = jnp.asarray(np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (n_pts, 1)))
+    lobes = jnp.asarray(np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (m, 1)))
+    lambdas = jnp.full((m,), 40.0)
+
+    def vis_fn(p, d):
+        # logits heavily favoring "visible"
+        return jnp.stack([jnp.zeros(p.shape[:-1]), 10.0 * jnp.ones(p.shape[:-1])], axis=-1)
+
+    vis = sg.get_diffuse_visibility(key, pts, normals, vis_fn, lobes, lambdas, nsamp=16)
+    assert vis.shape == (m, n_pts)
+    # lobes point along +z = normal, samples cluster near +z, so cos>0 for
+    # essentially all samples -> vis ~ softmax(10) ~ 1
+    assert np.asarray(vis).min() > 0.95
+
+
+def test_kl_divergence_matches_reference_formula():
+    x = np.array([[0.2, 0.5, 0.01], [0.1, 0.4, 0.02]], np.float32)
+    got = float(sg.kl_divergence(jnp.asarray(x), 0.01))
+    rho = 0.01
+    r = x.mean(0)
+    want = np.mean(rho * np.log(rho / (r + 1e-4))
+                   + (1 - rho) * np.log((1 - rho) / (1 - r + 1e-4)))
+    assert got == pytest.approx(float(want), rel=1e-5)

@@ -1,0 +1,66 @@
+"""Dense layers as init/apply pairs: plain and weight-normalized linear.
+
+Weight norm follows PyTorch semantics (``nn.utils.weight_norm``, dim=0):
+W = g * v / ||v|| with the norm taken per *output* unit, and g initialized
+to ||v|| so the initial effective weight equals the raw init. Parameters are
+stored JAX-style as ``v: [in, out]``, ``g: [out]``, ``b: [out]`` (the norm
+per output unit is over axis 0).
+
+Default init mirrors ``torch.nn.Linear``: U(-1/sqrt(in), 1/sqrt(in)) for
+both weight and bias, so untrained-network behavior is distributionally
+comparable to the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict
+
+
+def torch_linear_init(key: jax.Array, in_dim: int, out_dim: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """torch.nn.Linear default init (kaiming_uniform a=sqrt(5) reduces to
+    U(-1/sqrt(in), 1/sqrt(in)) for weight; bias uses the same bound)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_dim)
+    w = jax.random.uniform(kw, (in_dim, out_dim), minval=-bound, maxval=bound)
+    b = jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound)
+    return w, b
+
+
+def init_linear(key: jax.Array, in_dim: int, out_dim: int, *,
+                weight_norm: bool = False,
+                w_init: Callable | None = None,
+                b_init: Callable | None = None) -> Params:
+    """``w_init(key, (in, out))`` / ``b_init(key, (out,))`` override the
+    torch-default initialization."""
+    kw, kb = jax.random.split(key)
+    if w_init is None and b_init is None:
+        w, b = torch_linear_init(key, in_dim, out_dim)
+    else:
+        w = (w_init or (lambda k, s: torch_linear_init(k, in_dim, out_dim)[0]))(kw, (in_dim, out_dim))
+        b = (b_init or (lambda k, s: jnp.zeros(s)))(kb, (out_dim,))
+    if weight_norm:
+        g = jnp.linalg.norm(w, axis=0)  # per output unit
+        return {"v": w, "g": g, "b": b}
+    return {"w": w, "b": b}
+
+
+def apply_linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "v" in params:
+        v = params["v"]
+        w = v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
+    else:
+        w = params["w"]
+    return x @ w + params["b"]
+
+
+def softplus_beta(x: jnp.ndarray, beta: float = 100.0) -> jnp.ndarray:
+    """torch Softplus(beta): log(1 + exp(beta x)) / beta, numerically stable
+    (torch switches to identity above threshold; jax.nn.softplus is already
+    stable so values agree to fp32 rounding)."""
+    return jax.nn.softplus(beta * x) / beta

@@ -46,14 +46,31 @@ def _make_gin_stub() -> types.ModuleType:
 _STUBS = {"gin": _make_gin_stub}
 
 
-def import_reference_module(dotted: str):
-    """Import e.g. 'model.sg_render' from the reference tree."""
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+def _install_stubs() -> None:
     for name, maker in _STUBS.items():
         if name not in sys.modules:
             try:
                 importlib.import_module(name)
             except ImportError:
                 sys.modules[name] = maker()
+
+
+def import_reference_module(dotted: str):
+    """Import e.g. 'model.sg_render' from the reference tree (stage-2 root)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    _install_stubs()
+    return importlib.import_module(dotted)
+
+
+def import_neus_module(dotted: str):
+    """Import e.g. 'volume_render.sdf_render' from the reference neus/ tree.
+
+    Note: do NOT import the neus 'model' package this way — it collides with
+    the stage-2 root 'model' package. Tests duck-type ISDF instead.
+    """
+    neus_root = REFERENCE_ROOT + "/neus"
+    if neus_root not in sys.path:
+        sys.path.insert(0, neus_root)
+    _install_stubs()
     return importlib.import_module(dotted)

@@ -1,0 +1,191 @@
+"""Field-network parity vs the PyTorch reference (weight-transferred)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robir_tpu.fields import sdf as sdf_mod
+from robir_tpu.fields import radiance as rad_mod
+from robir_tpu.fields.encoding import PEConfig, positional_encoding
+from robir_tpu.fields.neus_model import (NeuSConfig, NeuS, VarianceConfig,
+                                         init_neus, init_variance,
+                                         variance_apply)
+from tests.conftest import has_reference
+
+pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+
+
+def _torch_linear_to_params(lin, weight_norm: bool):
+    """Convert a torch Linear (possibly weight_norm-wrapped) to our layout."""
+    if weight_norm:
+        v = lin.weight_v.detach().numpy().T  # [in, out]
+        g = lin.weight_g.detach().numpy().reshape(-1)  # [out]
+        b = lin.bias.detach().numpy()
+        return {"v": jnp.asarray(v), "g": jnp.asarray(g), "b": jnp.asarray(b)}
+    w = lin.weight.detach().numpy().T
+    b = lin.bias.detach().numpy()
+    return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+
+
+def test_pe_matches_reference():
+    from tests.ref_loader import import_reference_module
+    import torch
+    fields = import_reference_module("model.neus_model")
+    # reference stage-2 PE: model/neus_model.py class PE
+    ref_pe = fields.PE(input_dims=3, num_freq=6)
+    x = np.random.default_rng(0).standard_normal((17, 3)).astype(np.float32)
+    want = ref_pe.embed(torch.from_numpy(x)).numpy()
+    got = np.asarray(positional_encoding(jnp.asarray(x), PEConfig(num_freqs=6)))
+    assert got.shape == want.shape == (17, 3 + 3 * 2 * 6)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_ipe_matches_reference():
+    from tests.ref_loader import import_reference_module
+    import torch
+    from robir_tpu.fields.encoding import IPEConfig, ipe_isotropic
+    fields = import_reference_module("model.neus_model")
+    ipe = fields.IPE(min_deg=0, max_deg=6, in_dim=3)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((23, 3)).astype(np.float32)
+    cov = fields.isotropic_cov(torch.from_numpy(x), 0.005)
+    want = ipe(torch.from_numpy(x), cov).numpy()
+    got = np.asarray(ipe_isotropic(jnp.asarray(x), IPEConfig(0, 6), var=0.005))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestSDFParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        from tests.ref_loader import import_reference_module
+        import torch
+        torch.manual_seed(0)
+        nf = import_reference_module("model.neus_model")
+        ref = nf.SDFNetwork(d_in=3, d_out=257, d_hidden=256, n_layers=8,
+                            skip_in=[4], multires=6, bias=0.5, scale=1.0,
+                            geometric_init=True, weight_norm=True)
+        cfg = sdf_mod.SDFConfig(d_in=3, d_out=257, d_hidden=256, n_layers=8,
+                                skip_in=(4,), multires=6, bias=0.5, scale=1.0)
+        params = {
+            f"lin{i}": _torch_linear_to_params(getattr(ref, f"lin{i}"), True)
+            for i in range(9)
+        }
+        return ref, cfg, params
+
+    def test_forward(self, pair):
+        import torch
+        ref, cfg, params = pair
+        x = np.random.default_rng(2).standard_normal((64, 3)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()
+        got = np.asarray(sdf_mod.sdf_apply(params, cfg, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_gradient(self, pair):
+        import torch
+        ref, cfg, params = pair
+        x = np.random.default_rng(3).standard_normal((32, 3)).astype(np.float32) * 0.5
+        want = ref.gradient(torch.from_numpy(x)).squeeze(1).detach().numpy()
+        got = np.asarray(sdf_mod.sdf_gradient(params, cfg, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+
+    def test_value_and_gradient_consistent(self, pair):
+        _, cfg, params = pair
+        x = jnp.asarray(np.random.default_rng(4).standard_normal((16, 3)), jnp.float32)
+        v1 = sdf_mod.sdf_value(params, cfg, x)
+        v2, g2 = sdf_mod.sdf_value_and_gradient(params, cfg, x)
+        g1 = sdf_mod.sdf_gradient(params, cfg, x)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-6)
+
+    def test_geometric_init_is_sphere(self):
+        """Fresh geometric init should give SDF ~ |x| - bias."""
+        cfg = sdf_mod.SDFConfig(multires=6, bias=0.5)
+        params = sdf_mod.init_sdf(jax.random.PRNGKey(0), cfg)
+        dirs = np.random.default_rng(5).standard_normal((100, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        means = []
+        for r in [0.2, 0.5, 1.0]:
+            vals = np.asarray(sdf_mod.sdf_value(params, cfg, jnp.asarray(dirs * r)))
+            means.append(vals.mean())
+            # loose sphere (the torch geometric init is equally loose)
+            assert abs(vals.mean() - (r - 0.5)) < 0.2, (r, vals.mean())
+        assert means[0] < 0 < means[2] and means == sorted(means)
+
+
+class TestRenderingParity:
+    def test_forward(self):
+        from tests.ref_loader import import_reference_module
+        import torch
+        torch.manual_seed(1)
+        nf = import_reference_module("model.neus_model")
+        ref = nf.RenderingNetwork(d_feature=256, mode="idr", d_in=9, d_out=3,
+                                  d_hidden=256, n_layers=4, weight_norm=True,
+                                  multires_view=4)
+        cfg = rad_mod.RenderingConfig(d_feature=256, mode="idr", d_in=9,
+                                      d_out=3, d_hidden=256, n_layers=4,
+                                      multires_view=4)
+        params = {
+            f"lin{i}": _torch_linear_to_params(getattr(ref, f"lin{i}"), True)
+            for i in range(5)
+        }
+        rng = np.random.default_rng(6)
+        pts = rng.standard_normal((40, 3)).astype(np.float32)
+        nrm = rng.standard_normal((40, 3)).astype(np.float32)
+        dirs = rng.standard_normal((40, 3)).astype(np.float32)
+        feat = rng.standard_normal((40, 256)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(*(torch.from_numpy(a) for a in (pts, nrm, dirs, feat))).numpy()
+        got = np.asarray(rad_mod.rendering_apply(
+            params, cfg, *(jnp.asarray(a) for a in (pts, nrm, dirs, feat))))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+class TestNeRFBgParity:
+    def test_forward(self):
+        from tests.ref_loader import import_reference_module
+        import torch
+        torch.manual_seed(2)
+        nf = import_reference_module("model.neus_model")
+        ref = nf.NeRF(d_in=4)
+        cfg = rad_mod.NeRFBgConfig(d_in=4)
+        params = {}
+        for i, lin in enumerate(ref.pts_linears):
+            params[f"pts_lin{i}"] = _torch_linear_to_params(lin, False)
+        params["views_lin0"] = _torch_linear_to_params(ref.views_linears[0], False)
+        params["feature"] = _torch_linear_to_params(ref.feature_linear, False)
+        params["alpha"] = _torch_linear_to_params(ref.alpha_linear, False)
+        params["rgb"] = _torch_linear_to_params(ref.rgb_linear, False)
+
+        rng = np.random.default_rng(7)
+        pts = rng.standard_normal((30, 4)).astype(np.float32)
+        views = rng.standard_normal((30, 3)).astype(np.float32)
+        with torch.no_grad():
+            want_a, want_rgb = ref(torch.from_numpy(pts), torch.from_numpy(views))
+        got_a, got_rgb = rad_mod.nerf_bg_apply(params, cfg, jnp.asarray(pts),
+                                               jnp.asarray(views))
+        np.testing.assert_allclose(np.asarray(got_a), want_a.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_rgb), want_rgb.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_variance():
+    p = init_variance(VarianceConfig(0.3))
+    assert float(variance_apply(p)) == pytest.approx(float(np.exp(3.0)), rel=1e-5)
+
+
+def test_neus_facade_shapes():
+    cfg = NeuSConfig(sdf=sdf_mod.SDFConfig(d_hidden=64, n_layers=4, multires=4,
+                                           d_out=65),
+                     color=rad_mod.RenderingConfig(d_feature=64, d_hidden=64,
+                                                   n_layers=2))
+    params = init_neus(jax.random.PRNGKey(0), cfg)
+    model = NeuS(params, cfg)
+    x = jnp.zeros((10, 3))
+    assert model.sdf(x).shape == (10, 1)
+    s, f = model.sdf_and_feat(x)
+    assert s.shape == (10, 1) and f.shape == (10, 64)
+    assert model.grad(x).shape == (10, 3)
+    c = model.color(x, model.grad(x), x, f)
+    assert c.shape == (10, 3)
+    assert float(model.inv_s()) > 0

@@ -1,0 +1,162 @@
+"""NeuS volume-renderer parity vs the PyTorch reference.
+
+With perturb=0 and deterministic importance sampling, the whole render is
+deterministic, so weight-transferred models must agree to fp32 tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robir_tpu.fields import radiance as rad_mod
+from robir_tpu.fields import sdf as sdf_mod
+from robir_tpu.fields.neus_model import NeuS, NeuSConfig, VarianceConfig, init_neus
+from robir_tpu.render import neus as rn
+from tests.conftest import has_reference
+from tests.test_fields import _torch_linear_to_params
+
+pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+
+SDF_KW = dict(d_in=3, d_out=65, d_hidden=64, n_layers=4, skip_in=(2,),
+              multires=4, bias=0.5, scale=1.0)
+COLOR_KW = dict(d_feature=64, mode="idr", d_in=9, d_out=3, d_hidden=64,
+                n_layers=2, multires_view=4)
+
+
+def _build_pair():
+    """Small SDF+color nets in torch and jax with identical weights."""
+    from tests.ref_loader import import_reference_module
+    import torch
+    torch.manual_seed(0)
+    nm = import_reference_module("model.neus_model")
+    t_sdf = nm.SDFNetwork(**{**SDF_KW, "skip_in": [2]})
+    t_col = nm.RenderingNetwork(**COLOR_KW, weight_norm=True)
+
+    cfg = NeuSConfig(
+        sdf=sdf_mod.SDFConfig(**{**SDF_KW, "skip_in": (2,)}),
+        color=rad_mod.RenderingConfig(**COLOR_KW),
+        variance=VarianceConfig(0.3),
+        background=None,
+        radius=2.0)
+    params = {
+        "sdf_network": {f"lin{i}": _torch_linear_to_params(getattr(t_sdf, f"lin{i}"), True)
+                        for i in range(5)},
+        "color_network": {f"lin{i}": _torch_linear_to_params(getattr(t_col, f"lin{i}"), True)
+                          for i in range(3)},
+        "deviation_network": {"variance": jnp.float32(0.3)},
+    }
+
+    class TorchISDF:
+        """Duck-typed ISDF for the reference render_neus."""
+
+        def sdf(self, x):
+            return t_sdf.sdf(x)
+
+        def sdf_and_feat(self, x):
+            out = t_sdf(x)
+            return out[..., :1], out[..., 1:]
+
+        def grad(self, x):
+            shape = list(x.shape[:-1]) + [-1]
+            return t_sdf.gradient(x.view(-1, 3)).view(shape)
+
+        def color(self, x, gradients, dirs, feature_vector):
+            return t_col(x, gradients, dirs, feature_vector)
+
+        def dev(self, x):
+            return torch.ones([len(x), 1]) * torch.exp(torch.tensor(0.3) * 10.0)
+
+        def radius(self):
+            return 2.0
+
+    return TorchISDF(), NeuS(params, cfg)
+
+
+def _make_rays(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    origins = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
+    targets = rng.uniform(-0.4, 0.4, (n, 3)).astype(np.float32)
+    dirs = targets - origins
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    near = np.full((n, 1), 1.5, np.float32)
+    far = np.full((n, 1), 4.5, np.float32)
+    return origins, dirs, near, far
+
+
+class TestRenderParity:
+    @pytest.fixture(scope="class")
+    def models(self):
+        return _build_pair()
+
+    @pytest.mark.parametrize("cos_anneal", [0.3, 1.0])
+    def test_full_render(self, models, cos_anneal):
+        from tests.ref_loader import import_neus_module
+        import torch
+        t_model, j_model = models
+        ref_render = import_neus_module("volume_render.sdf_render")
+        origins, dirs, near, far = _make_rays()
+
+        t_rays = ref_render.Rays(
+            origins=torch.from_numpy(origins), directions=torch.from_numpy(dirs),
+            viewdirs=torch.from_numpy(dirs), radii=torch.zeros(8, 1),
+            lossmult=torch.ones(8, 1), near=torch.from_numpy(near),
+            far=torch.from_numpy(far))
+        with torch.no_grad():
+            want = ref_render.render_neus(
+                t_rays, t_model, cos_anneal_ratio=cos_anneal, n_samples=16,
+                n_importance=16, n_outside=0, up_sample_steps=4,
+                white_bkgd=True, perturb=0.0, is_eval=True)
+
+        j_rays = rn.Rays(
+            origins=jnp.asarray(origins), directions=jnp.asarray(dirs),
+            viewdirs=jnp.asarray(dirs), radii=jnp.zeros((8, 1)),
+            lossmult=jnp.ones((8, 1)), near=jnp.asarray(near),
+            far=jnp.asarray(far))
+        cfg = rn.NeusRenderConfig(n_samples=16, n_importance=16, n_outside=0,
+                                  up_sample_steps=4, white_bkgd=True)
+        got = rn.render_neus(None, j_rays, j_model, cos_anneal, cfg, is_eval=True)
+
+        np.testing.assert_allclose(np.asarray(got["rgb"]), want["rgb"].numpy(),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["acc"]), want["acc"].numpy(),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got["gradient_error"]),
+                                   want["sim_or_grad"].numpy(), rtol=2e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got["dist"]), want["dist"].numpy(),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_sample_pdf_det(self):
+        from tests.ref_loader import import_neus_module
+        import torch
+        ref_render = import_neus_module("volume_render.sdf_render")
+        rng = np.random.default_rng(1)
+        bins = np.sort(rng.random((6, 10)).astype(np.float32), axis=-1)
+        weights = rng.random((6, 9)).astype(np.float32)
+        want = ref_render.sample_pdf(torch.from_numpy(bins),
+                                     torch.from_numpy(weights), 8, det=True).numpy()
+        got = np.asarray(rn.sample_pdf(None, jnp.asarray(bins),
+                                       jnp.asarray(weights), 8, det=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_render_is_jittable_and_differentiable(self, models):
+        _, j_model = models
+        origins, dirs, near, far = _make_rays()
+        j_rays = rn.Rays(jnp.asarray(origins), jnp.asarray(dirs),
+                         jnp.asarray(dirs), jnp.zeros((8, 1)),
+                         jnp.ones((8, 1)), jnp.asarray(near), jnp.asarray(far))
+        cfg = rn.NeusRenderConfig(n_samples=16, n_importance=16)
+
+        @jax.jit
+        def loss_fn(params):
+            model = NeuS(params, j_model.cfg)
+            out = rn.render_neus(jax.random.PRNGKey(0), j_rays, model, 1.0, cfg)
+            return jnp.mean(out["rgb"] ** 2) + 0.1 * out["gradient_error"]
+
+        g = jax.grad(loss_fn)(j_model.params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        # the eikonal term must reach the SDF weights (double differentiation)
+        gnorm = sum(float(jnp.sum(jnp.abs(l)))
+                    for l in jax.tree_util.tree_leaves(g["sdf_network"]))
+        assert gnorm > 0

@@ -23,15 +23,18 @@ from typing import Any, Callable
 import jax
 import numpy as np
 
-from .tree import Params, flatten_with_paths, merge_trees, unflatten_paths
+from .tree import (Params, flatten_with_paths, from_plain, merge_trees,
+                   to_plain, unflatten_paths)
 
 _META_KEY = "__meta__"
 
 
 def save(path: str, tree: Params, *, step: int = 0, extra: dict | None = None) -> None:
-    """Write pytree to ``path`` (.npz). Atomic via temp-file rename."""
-    flat = flatten_with_paths(tree)
-    arrays = {k: np.asarray(jax.device_get(v)) for k, v in flat.items()}
+    """Write pytree to ``path`` (.npz). Accepts arbitrary pytrees (dicts,
+    NamedTuples, optax states). Atomic via temp-file rename."""
+    flat = flatten_with_paths(to_plain(tree))
+    arrays = {k: np.asarray(jax.device_get(v))
+              for k, v in flat.items() if v is not None}
     meta = {"step": int(step), "extra": extra or {}}
     arrays[_META_KEY] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     tmp = path + ".tmp"
@@ -53,12 +56,15 @@ def restore_into(base: Params, path: str,
                  keep: Callable[[str], bool] | None = None) -> tuple[Params, dict]:
     """Partial restore: load ``path``, optionally filter leaf paths with
     ``keep``, and merge into ``base`` (paths absent from the file keep their
-    ``base`` values; paths in the file but not in ``base`` raise)."""
+    ``base`` values; paths in the file but not in ``base`` raise). ``base``
+    may be an arbitrary pytree; the result has ``base``'s structure."""
     loaded, meta = load(path)
     flat = flatten_with_paths(loaded)
     if keep is not None:
         flat = {k: v for k, v in flat.items() if keep(k)}
-    return merge_trees(base, unflatten_paths(flat)), meta
+    plain_base = to_plain(base)
+    merged = merge_trees(plain_base, unflatten_paths(flat))
+    return from_plain(base, merged), meta
 
 
 _STEP_RE = re.compile(r"^ckpt_(\d+)\.npz$")

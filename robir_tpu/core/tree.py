@@ -78,3 +78,33 @@ def merge_trees(base: Params, override: Params) -> Params:
 def tree_size_bytes(tree: Params) -> int:
     leaves = jax.tree_util.tree_leaves(tree)
     return sum(x.size * x.dtype.itemsize for x in leaves)
+
+
+def to_plain(tree: Any) -> Any:
+    """Convert an arbitrary pytree (dicts, NamedTuples, lists, tuples,
+    optax states) into nested plain dicts with string keys, so it can be
+    path-flattened and serialized. Scalars/arrays stay as leaves."""
+    if isinstance(tree, Mapping):
+        return {str(k): to_plain(v) for k, v in tree.items()}
+    if hasattr(tree, "_fields"):  # NamedTuple
+        return {k: to_plain(getattr(tree, k)) for k in tree._fields}
+    if isinstance(tree, (list, tuple)):
+        return {str(i): to_plain(v) for i, v in enumerate(tree)}
+    return tree
+
+
+def from_plain(exemplar: Any, plain: Any) -> Any:
+    """Rebuild a pytree with ``exemplar``'s structure from :func:`to_plain`
+    output (inverse of to_plain given a structural template)."""
+    if isinstance(exemplar, Mapping):
+        return type(exemplar)(
+            {k: from_plain(v, plain[str(k)]) for k, v in exemplar.items()})
+    if hasattr(exemplar, "_fields"):
+        return type(exemplar)(
+            *[from_plain(getattr(exemplar, k), plain[k]) for k in exemplar._fields])
+    if isinstance(exemplar, (list, tuple)):
+        vals = [from_plain(v, plain[str(i)]) for i, v in enumerate(exemplar)]
+        return type(exemplar)(vals)
+    if exemplar is None:
+        return None
+    return jnp.asarray(plain)

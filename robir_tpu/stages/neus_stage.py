@@ -1,0 +1,278 @@
+"""Stage 1: NeuS SDF + radiance training (the geometry/radiance prior).
+
+Re-designs the reference stage-1 trainer (``neus/optimization/trainer.py``)
+as a single pure pjit'd train step:
+
+    (params, opt_state, batch, step, rng) -> (params', opt_state', metrics)
+
+Loss parity (trainer.py:136-190): masked MSE over rays + gin-weighted
+regularizers (eikonal = the renderer's in-sphere gradient error x 0.1,
+silhouette = (acc - mask)^2 x 1.0 for the blender config), mip-NeRF
+log-lerp LR with warmup, cos-anneal ratio min(1, step/anneal_end)
+(``volume_render/interface.py:20-34``).
+
+Parallelism: ray batch sharded over the mesh 'data' axis, parameters
+replicated; jit inserts the gradient psum over ICI. This replaces the
+reference's single-GPU loop + dead DDP helper (``utils/dist_util.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import checkpoint as ckpt_lib
+from ..core.mesh import DATA_AXIS, batch_sharding, replicated
+from ..core.schedule import log_lerp_lr
+from ..data.blender import BlenderScene, Prefetcher, RayBatch
+from ..fields.neus_model import NeuS, NeuSConfig, init_neus
+from ..render.neus import NeusRenderConfig, Rays, render_neus
+
+
+@dataclasses.dataclass(frozen=True)
+class NeusTrainConfig:
+    lr_init: float = 5e-4
+    lr_final: float = 5e-6
+    lr_delay_steps: int = 2500
+    lr_delay_mult: float = 0.01
+    max_steps: int = 200_000
+    anneal_end: int = 50_000
+    batch_size: int = 512
+    eikonal_weight: float = 0.1
+    silhouette_weight: float = 1.0
+    eval_chunk: int = 1024
+    ckpt_every: int = 50_000
+    grad_max_norm: float = 0.0
+
+
+def mse_to_psnr(mse):
+    return -10.0 / np.log(10.0) * jnp.log(mse)
+
+
+def make_optimizer(cfg: NeusTrainConfig) -> optax.GradientTransformation:
+    lr = log_lerp_lr(cfg.lr_init, cfg.lr_final, cfg.max_steps,
+                     cfg.lr_delay_steps, cfg.lr_delay_mult)
+    tx = optax.adam(learning_rate=lr)
+    if cfg.grad_max_norm > 1e-10:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_max_norm), tx)
+    return tx
+
+
+def batch_to_rays(batch: Any) -> tuple[Rays, jnp.ndarray]:
+    """RayBatch (device) -> (Rays, pixels)."""
+    return Rays(batch.origins, batch.directions, batch.viewdirs, batch.radii,
+                batch.lossmult, batch.near, batch.far), batch.pixels
+
+
+def neus_loss(out: dict, mask: jnp.ndarray, pixels: jnp.ndarray,
+              cfg: NeusTrainConfig) -> tuple[jnp.ndarray, dict]:
+    """Masked MSE + regularizers (trainer.py:136-158, regular.py:32-44)."""
+    mask_sum = jnp.sum(mask) + 1e-5
+    mse = jnp.sum(mask * (out["rgb"] - pixels) ** 2) / mask_sum
+    eikonal = out["gradient_error"] * cfg.eikonal_weight
+    silhouette = jnp.mean((out["acc"] - mask[..., 0]) ** 2) * cfg.silhouette_weight
+    loss = mse + eikonal + silhouette
+    return loss, {"loss": loss, "mse": mse, "psnr": mse_to_psnr(mse),
+                  "eikonal": eikonal, "silhouette": silhouette}
+
+
+def make_train_step(model_cfg: NeuSConfig, render_cfg: NeusRenderConfig,
+                    train_cfg: NeusTrainConfig,
+                    optimizer: optax.GradientTransformation,
+                    mesh: Mesh | None = None) -> Callable:
+    """Build the jitted train step. With a mesh, batch args are sharded over
+    'data' and params/opt-state replicated (grads all-reduce over ICI)."""
+
+    def step_fn(params, opt_state, batch: RayBatch, step, rng):
+        rays, pixels = batch_to_rays(batch)
+        cos_anneal = jnp.minimum(1.0, step.astype(jnp.float32) / train_cfg.anneal_end)
+
+        def loss_fn(p):
+            model = NeuS(p, model_cfg)
+            out = render_neus(rng, rays, model, cos_anneal, render_cfg)
+            return neus_loss(out, rays.lossmult, pixels, train_cfg)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    batch_shardings = RayBatch(*([data] * 8))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, batch_shardings, repl, repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_eval_render(model_cfg: NeuSConfig, render_cfg: NeusRenderConfig,
+                     mesh: Mesh | None = None) -> Callable:
+    def render_fn(params, batch: RayBatch):
+        rays, _ = batch_to_rays(batch)
+        model = NeuS(params, model_cfg)
+        out = render_neus(None, rays, model, 1.0, render_cfg, is_eval=True)
+        return {"rgb": out["rgb"], "acc": out["acc"], "dist": out["dist"]}
+
+    if mesh is None:
+        return jax.jit(render_fn)
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(render_fn, in_shardings=(repl, RayBatch(*([data] * 8))),
+                   out_shardings=data)
+
+
+class NeusTrainer:
+    """Host-side loop: data, checkpoints, eval. All device math is jitted."""
+
+    def __init__(self, scene: BlenderScene, model_cfg: NeuSConfig,
+                 render_cfg: NeusRenderConfig, train_cfg: NeusTrainConfig,
+                 mesh: Mesh | None = None, log_dir: str | None = None,
+                 seed: int = 0):
+        self.scene = scene
+        self.model_cfg = model_cfg
+        self.render_cfg = render_cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        self.log_dir = log_dir
+
+        self.optimizer = make_optimizer(train_cfg)
+        key = jax.random.PRNGKey(seed)
+        self.key, init_key = jax.random.split(key)
+        self.params = init_neus(init_key, model_cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+
+        if mesh is not None:
+            repl = replicated(mesh)
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+
+        self.train_step = make_train_step(model_cfg, render_cfg, train_cfg,
+                                          self.optimizer, mesh)
+        self.eval_render = make_eval_render(model_cfg, render_cfg, mesh)
+
+        self._rng = np.random.default_rng(seed)
+        self._prefetch = None
+
+    # -- data ---------------------------------------------------------------
+
+    def _sample(self) -> RayBatch:
+        batch = self.scene.sample(self._rng, self.train_cfg.batch_size)
+        return self._put(batch)
+
+    def _put(self, batch: RayBatch) -> RayBatch:
+        if self.mesh is None:
+            return RayBatch(*[jnp.asarray(x) for x in batch])
+        sh = batch_sharding(self.mesh)
+        return RayBatch(*[jax.device_put(np.asarray(x), sh) for x in batch])
+
+    # -- training -----------------------------------------------------------
+
+    def run(self, n_steps: int, log_every: int = 0,
+            metrics_cb: Callable[[int, dict], None] | None = None) -> dict:
+        if self._prefetch is None:
+            self._prefetch = Prefetcher(self._sample)
+        last = {}
+        for _ in range(n_steps):
+            batch = next(self._prefetch)
+            self.key, step_key = jax.random.split(self.key)
+            self.params, self.opt_state, metrics = self.train_step(
+                self.params, self.opt_state, batch,
+                jnp.asarray(self.step, jnp.int32), step_key)
+            self.step += 1
+            if log_every and self.step % log_every == 0:
+                last = {k: float(v) for k, v in metrics.items()}
+                if metrics_cb:
+                    metrics_cb(self.step, last)
+            if self.log_dir and self.step % self.train_cfg.ckpt_every == 0:
+                self.save()
+        jax.block_until_ready(self.params)
+        if not last:
+            last = {k: float(v) for k, v in metrics.items()}
+        return last
+
+    def throughput(self, n_steps: int = 20, warmup: int = 3) -> float:
+        """rays/sec sustained over n_steps (the BASELINE north-star metric)."""
+        if self._prefetch is None:
+            self._prefetch = Prefetcher(self._sample)
+        for _ in range(warmup):
+            batch = next(self._prefetch)
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, m = self.train_step(
+                self.params, self.opt_state, batch,
+                jnp.asarray(self.step, jnp.int32), k)
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            batch = next(self._prefetch)
+            self.key, k = jax.random.split(self.key)
+            self.params, self.opt_state, m = self.train_step(
+                self.params, self.opt_state, batch,
+                jnp.asarray(self.step, jnp.int32), k)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        return n_steps * self.train_cfg.batch_size / dt
+
+    # -- eval ---------------------------------------------------------------
+
+    def render_image(self, idx: int = 0, scene: BlenderScene | None = None) -> dict:
+        """Chunked whole-image render (reference render_image,
+        volume_render/interface.py:43-84)."""
+        scene = scene or self.scene
+        full = scene.image_rays(idx)
+        n = full.origins.shape[0]
+        chunk = self.train_cfg.eval_chunk
+        outs = []
+        for i in range(0, n, chunk):
+            sl = RayBatch(*[np.asarray(x[i:i + chunk]) for x in full])
+            pad = chunk - sl.origins.shape[0]
+            if pad:
+                sl = RayBatch(*[np.concatenate([x, np.repeat(x[-1:], pad, 0)])
+                                for x in sl])
+            out = self.eval_render(self.params, self._put(sl))
+            outs.append({k: np.asarray(v)[:chunk - pad if pad else chunk]
+                         for k, v in out.items()})
+        h, w = scene.h, scene.w
+        img = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+        rgb = img["rgb"].reshape(h, w, 3)
+        mse = float(np.mean((rgb - scene.images[idx]) ** 2))
+        return {"rgb": rgb, "acc": img["acc"].reshape(h, w),
+                "dist": img["dist"].reshape(h, w),
+                "mse": mse, "psnr": -10.0 / np.log(10.0) * np.log(mse)}
+
+    # -- checkpointing ------------------------------------------------------
+
+    def save(self) -> str:
+        assert self.log_dir
+        path = ckpt_lib.step_path(self.log_dir, self.step)
+        ckpt_lib.save(path, {"params": self.params, "opt_state": self.opt_state},
+                      step=self.step)
+        return path
+
+    def restore(self, path: str | None = None) -> None:
+        path = path or ckpt_lib.latest_path(self.log_dir)
+        if path is None:
+            return
+        base = {"params": self.params, "opt_state": self.opt_state}
+        merged, meta = ckpt_lib.restore_into(base, path)
+        self.params = merged["params"]
+        self.opt_state = merged["opt_state"]
+        self.step = meta.get("step", 0)
+        if self.mesh is not None:
+            repl = replicated(self.mesh)
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)

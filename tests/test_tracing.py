@@ -1,0 +1,149 @@
+"""Tracer oracles: analytic sphere SDF + brute-force marches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robir_tpu.tracing.grid import (GridConfig, SDFGrid, grid_cast, grid_normal,
+                                    grid_sdf, grid_visibility_logits)
+from robir_tpu.tracing.sphere import SphereTracerConfig, sphere_trace
+
+RADIUS = 0.5
+
+
+def sphere_sdf(x):
+    return jnp.linalg.norm(x, axis=-1) - RADIUS
+
+
+def torus_sdf(x, R=0.5, r=0.2):
+    q = jnp.stack([jnp.linalg.norm(x[..., :2], axis=-1) - R, x[..., 2]], -1)
+    return jnp.linalg.norm(q, axis=-1) - r
+
+
+def _rand_rays(n, seed=0, origin_dist=2.0, target_scale=0.3):
+    rng = np.random.default_rng(seed)
+    o = rng.standard_normal((n, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * origin_dist
+    tgt = rng.uniform(-target_scale, target_scale, (n, 3)).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+class TestGridTracer:
+    @pytest.fixture(scope="class")
+    def grid(self):
+        return SDFGrid.build(sphere_sdf, GridConfig(resolution=128, start_offset=0.0))
+
+    def test_grid_sdf_accuracy(self, grid):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(-0.9, 0.9, (500, 3)).astype(np.float32))
+        got = np.asarray(grid.sdf(x))
+        want = np.asarray(sphere_sdf(x))
+        assert np.abs(got - want).max() < 2e-3  # trilinear error ~ O(cell^2)
+
+    def test_grid_normal(self, grid):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((200, 3)).astype(np.float32)
+        x = x / np.linalg.norm(x, axis=-1, keepdims=True) * 0.5
+        n = np.asarray(grid.normal(jnp.asarray(x)))
+        want = x / np.linalg.norm(x, axis=-1, keepdims=True)
+        cos = np.sum(n * want, -1)
+        assert cos.min() > 0.999
+
+    def test_cast_hits_analytic(self, grid):
+        o, d = _rand_rays(256, seed=3)
+        t, hit, x = grid.cast(o, d)
+        # analytic intersection
+        b = jnp.sum(d * o, -1)
+        c = jnp.sum(o * o, -1) - RADIUS ** 2
+        disc = b * b - c
+        want_hit = np.asarray(disc > 0)
+        t_true = np.asarray(-b - jnp.sqrt(jnp.clip(disc, 0, None)))
+        hit = np.asarray(hit)
+        assert (hit == want_hit).mean() > 0.97
+        both = hit & want_hit
+        err = np.abs(np.asarray(t)[both] - t_true[both])
+        assert np.median(err) < 5e-3 and err.max() < 5e-2
+
+    def test_miss_rays(self, grid):
+        # rays pointing away from the sphere never hit
+        o = jnp.asarray(np.tile([[2.0, 0, 0]], (16, 1)).astype(np.float32))
+        d = jnp.asarray(np.tile([[1.0, 0, 0]], (16, 1)).astype(np.float32))
+        _, hit, _ = grid.cast(o, d)
+        assert not np.any(np.asarray(hit))
+
+    def test_visibility_oracle(self, grid):
+        """Points on +x surface: direction away from sphere = visible,
+        direction through the sphere = occluded."""
+        p = jnp.asarray(np.tile([[0.62, 0.0, 0.0]], (4, 1)).astype(np.float32))
+        away = jnp.asarray(np.tile([[1.0, 0.0, 0.0]], (4, 1)).astype(np.float32))
+        through = -away
+        logit_away = grid.visibility_logits(p, away)
+        logit_thru = grid.visibility_logits(p, through)
+        vis_away = jax.nn.softmax(logit_away, -1)[..., 1]
+        vis_thru = jax.nn.softmax(logit_thru, -1)[..., 1]
+        assert np.all(np.asarray(vis_away) > 0.99)
+        assert np.all(np.asarray(vis_thru) < 0.01)
+
+    def test_secondary_ray_from_surface(self, grid):
+        """Rays starting just off the surface (the Vis-stage pattern,
+        x + 0.005*n) must escape without self-hit when pointing outward."""
+        rng = np.random.default_rng(4)
+        n = rng.standard_normal((64, 3)).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        p = n * (RADIUS + 0.005)
+        cfg = GridConfig(resolution=128)  # default start_offset=5e-3
+        t, hit, _ = grid_cast(grid.values, cfg, jnp.asarray(p), jnp.asarray(n))
+        assert not np.any(np.asarray(hit))
+
+    def test_torus_cast(self):
+        """Non-convex shape: grid cast against brute-force fine march."""
+        cfg = GridConfig(resolution=160, start_offset=0.0)
+        g = SDFGrid.build(torus_sdf, cfg)
+        o, d = _rand_rays(128, seed=5)
+        t, hit, _ = g.cast(o, d)
+        # brute force: march tiny steps of the analytic sdf
+        ts = np.linspace(0.5, 3.5, 2000, dtype=np.float32)
+        pts = np.asarray(o)[:, None, :] + ts[None, :, None] * np.asarray(d)[:, None, :]
+        sd = np.asarray(torus_sdf(jnp.asarray(pts.reshape(-1, 3)))).reshape(128, -1)
+        bf_hit = (sd < 1e-3).any(-1)
+        agree = (np.asarray(hit) == bf_hit).mean()
+        assert agree > 0.95, agree
+        both = np.asarray(hit) & bf_hit
+        bf_t = ts[np.argmax(sd < 1e-3, axis=-1)]
+        assert np.median(np.abs(np.asarray(t)[both] - bf_t[both])) < 1e-2
+
+
+class TestSphereTracer:
+    def test_hits_analytic_sphere(self):
+        o, d = _rand_rays(128, seed=6)
+        cam = o  # per-ray origins
+        res = sphere_trace(sphere_sdf, cam, d,
+                           SphereTracerConfig(object_bounding_sphere=1.0))
+        b = np.sum(np.asarray(d) * np.asarray(o), -1)
+        c = np.sum(np.asarray(o) ** 2, -1) - RADIUS ** 2
+        disc = b * b - c
+        want_hit = disc > 0
+        t_true = -b - np.sqrt(np.clip(disc, 0, None))
+        hit = np.asarray(res.mask)
+        assert (hit == want_hit).mean() > 0.97
+        err = np.abs(np.asarray(res.dists) - t_true)[hit & want_hit]
+        assert err.max() < 1e-3
+
+    def test_nonconvex_secant(self):
+        """Torus requires the dense-sampling + secant path for grazing rays."""
+        o, d = _rand_rays(128, seed=7)
+        res = sphere_trace(torus_sdf, o, d,
+                           SphereTracerConfig(object_bounding_sphere=1.0))
+        hit = np.asarray(res.mask)
+        pts = np.asarray(res.points)[hit]
+        surf = np.abs(np.asarray(torus_sdf(jnp.asarray(pts))))
+        assert np.median(surf) < 1e-3
+
+    def test_jit_compatible(self):
+        o, d = _rand_rays(32, seed=8)
+        fn = jax.jit(lambda o, d: sphere_trace(sphere_sdf, o, d))
+        res = fn(o, d)
+        assert np.isfinite(np.asarray(res.dists)).all()

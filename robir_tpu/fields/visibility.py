@@ -1,0 +1,126 @@
+"""Visibility classifier + indirect-illumination SG field.
+
+Parity:
+- ``VisNetwork`` (``model/implicit_differentiable_renderer.py:225-258``):
+  (PE(x), PE(w)) -> 2 logits (occluded, visible), ReLU MLP.
+- ``IndirctIllumNetwork`` (same file :170-222): PE(x) (+ hdr shift) -> 24 SG
+  lobes (theta/phi via sigmoid -> unit vectors, lambda = sigmoid*30+0.1,
+  mu = relu) plus an indirect hemispheric integral through a softplus-latent
+  SparseAE head — note the reference uses the AE's *perturbed-input* output
+  (index 1) for the integral.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encoding import PEConfig, positional_encoding
+from .mlp import Params, apply_linear, init_linear
+from .sparse_ae import SparseAEConfig, init_sparse_ae, sparse_ae_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class VisNetConfig:
+    points_multires: int = 10
+    dirs_multires: int = 4
+    dims: tuple[int, ...] = (128, 128, 128, 128)
+
+    @property
+    def p_pe(self) -> PEConfig:
+        return PEConfig(num_freqs=self.points_multires, input_dims=3)
+
+    @property
+    def d_pe(self) -> PEConfig:
+        return PEConfig(num_freqs=self.dirs_multires, input_dims=3)
+
+
+def init_visnet(key: jax.Array, cfg: VisNetConfig) -> Params:
+    dims = (cfg.p_pe.out_dim + cfg.d_pe.out_dim,) + cfg.dims + (2,)
+    keys = jax.random.split(key, len(dims) - 1)
+    return {f"lin{i}": init_linear(keys[i], dims[i], dims[i + 1])
+            for i in range(len(dims) - 1)}
+
+
+def visnet_apply(params: Params, cfg: VisNetConfig, points: jnp.ndarray,
+                 view_dirs: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3], [..., 3] -> [..., 2] logits."""
+    p = positional_encoding(points, cfg.p_pe)
+    d = positional_encoding(view_dirs, cfg.d_pe)
+    h = jnp.concatenate([p, d], axis=-1)
+    n = len(cfg.dims) + 1
+    for i in range(n):
+        h = apply_linear(params[f"lin{i}"], h)
+        if i < n - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+@dataclasses.dataclass(frozen=True)
+class IndirIllumConfig:
+    multires: int = 10
+    dims: tuple[int, ...] = (128, 128, 128, 128)
+    num_lgt_sgs: int = 24
+    use_hdr: bool = True
+
+    @property
+    def pe(self) -> PEConfig:
+        return PEConfig(num_freqs=self.multires, input_dims=3)
+
+    @property
+    def in_dim(self) -> int:
+        return self.pe.out_dim + (1 if self.use_hdr else 0)
+
+    @property
+    def integral_ae(self) -> SparseAEConfig:
+        return SparseAEConfig(in_dim=self.in_dim, out_dim=3, out_act=None,
+                              smooth_on_latent=False, lc_act="softplus")
+
+
+def init_indirect(key: jax.Array, cfg: IndirIllumConfig) -> Params:
+    k1, k2 = jax.random.split(key)
+    dims = (cfg.in_dim,) + cfg.dims + (cfg.num_lgt_sgs * 6,)
+    keys = jax.random.split(k1, len(dims) - 1)
+    return {
+        "lobe_layer": {f"lin{i}": init_linear(keys[i], dims[i], dims[i + 1])
+                       for i in range(len(dims) - 1)},
+        "integral_layer": init_sparse_ae(k2, cfg.integral_ae),
+    }
+
+
+def indirect_apply(params: Params, cfg: IndirIllumConfig, points: jnp.ndarray,
+                   hdr_shift: Optional[jnp.ndarray] = None,
+                   key: Optional[jax.Array] = None
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[N, 3] (, [N, 1]) -> (lgt_sgs [N, M, 7], env_int [N, 3])."""
+    x = positional_encoding(points, cfg.pe)
+    if cfg.use_hdr:
+        x = jnp.concatenate([x, hdr_shift], axis=-1)
+
+    h = x
+    n = len(cfg.dims) + 1
+    for i in range(n):
+        h = apply_linear(params["lobe_layer"][f"lin{i}"], h)
+        if i < n - 1:
+            h = jax.nn.relu(h)
+    out = h.reshape(points.shape[0], cfg.num_lgt_sgs, 6)
+
+    tp = jax.nn.sigmoid(out[..., :2])
+    theta = tp[..., :1] * 2 * np.pi
+    phi = tp[..., 1:2] * np.pi
+    lobes = jnp.concatenate([jnp.cos(theta) * jnp.sin(phi),
+                             jnp.sin(theta) * jnp.sin(phi),
+                             jnp.cos(phi)], axis=-1)
+    lam = jax.nn.sigmoid(out[..., 2:3]) * 30 + 0.1
+    mu = jax.nn.relu(out[..., 3:])
+    lgt_sgs = jnp.concatenate([lobes, lam, mu], axis=-1)
+
+    # reference uses the perturbed-input AE output for the integral
+    # (implicit_differentiable_renderer.py:220)
+    _, env_int = sparse_ae_apply(params["integral_layer"], cfg.integral_ae,
+                                 x, key)
+    return lgt_sgs, jnp.abs(env_int)

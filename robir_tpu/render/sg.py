@@ -36,7 +36,11 @@ ALPHA_COS = 31.7003
 
 
 def norm_axis(x: jnp.ndarray) -> jnp.ndarray:
-    return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + TINY)
+    # smooth norm: ||x|| has a NaN gradient at 0 (the reference's latent NaN
+    # source behind its ipdb traps); sqrt(x^2 + tiny) matches to ~1e-12 for
+    # any non-degenerate vector and stays differentiable at 0
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+    return x / (norm + TINY)
 
 
 def split_sgs(lgt_sgs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -122,9 +126,13 @@ def hemisphere_int(lambda_val: jnp.ndarray, cos_beta: jnp.ndarray) -> jnp.ndarra
     inv_a = jnp.exp(-t)
     mask = (cos_beta >= 0).astype(lambda_val.dtype)
     inv_b = jnp.exp(-t * jnp.clip(cos_beta, 0.0, None))
-    s1 = (1.0 - inv_a * inv_b) / (1.0 - inv_a + inv_b - inv_a * inv_b)
+    # denominators guarded: as lambda -> 0, t -> 0 and both become 0/0;
+    # the guard keeps the (well-defined) limit finite in value and grad
+    d1 = 1.0 - inv_a + inv_b - inv_a * inv_b
+    s1 = (1.0 - inv_a * inv_b) / jnp.where(d1 < TINY, TINY, d1)
     b = jnp.exp(t * jnp.clip(cos_beta, None, 0.0))
-    s2 = (b - inv_a) / ((1.0 - inv_a) * (b + 1.0))
+    d2 = (1.0 - inv_a) * (b + 1.0)
+    s2 = (b - inv_a) / jnp.where(d2 < TINY, TINY, d2)
     s = mask * s1 + (1.0 - mask) * s2
 
     a_b = 2.0 * np.pi / lambda_val * (jnp.exp(-lambda_val) - jnp.exp(-2.0 * lambda_val))
@@ -141,7 +149,9 @@ def lambda_trick(lobe1, lambda1, mu1, lobe2, lambda2, mu2):
     lobe1 = norm_axis(lobe1)
     lobe2 = norm_axis(lobe2)
     dot = jnp.sum(lobe1 * lobe2, axis=-1, keepdims=True)
-    tmp = jnp.sqrt(ratio * ratio + 1.0 + 2.0 * ratio * dot)
+    # sqrt argument hits 0 when the lobes oppose with equal sharpness;
+    # clip keeps the gradient finite there
+    tmp = jnp.sqrt(jnp.clip(ratio * ratio + 1.0 + 2.0 * ratio * dot, 1e-12, None))
     tmp = jnp.minimum(tmp, ratio + 1.0)
 
     lambda3 = lambda2 * tmp
@@ -160,10 +170,16 @@ VisFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 def _lobe_frame(lobes: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Orthonormal (U, V) tangent frame around unit ``lobes`` using the
-    global z axis, as the reference does (sg_render.py:123-128)."""
+    """Orthonormal (U, V) tangent frame around unit ``lobes``.
+
+    The reference always crosses with +z (sg_render.py:123-128), which
+    degenerates (0 vector, NaN gradient) for lobes parallel to z; we switch
+    to the x axis there — any valid tangent frame gives an equivalent
+    Monte-Carlo sampling distribution."""
     z_axis = jnp.zeros_like(lobes).at[..., 2].set(1.0)
-    u = norm_axis(jnp.cross(z_axis, lobes))
+    x_axis = jnp.zeros_like(lobes).at[..., 0].set(1.0)
+    up = jnp.where(jnp.abs(lobes[..., 2:3]) > 0.99, x_axis, z_axis)
+    u = norm_axis(jnp.cross(up, lobes))
     v = norm_axis(jnp.cross(lobes, u))
     return u, v
 
@@ -177,7 +193,8 @@ def sample_lobe_dirs(key: jax.Array, lobes: jnp.ndarray, sharpness: jnp.ndarray,
     sharpness = jnp.clip(sharpness, sharp_min, sharp_max)
     u, v = _lobe_frame(lobes)
     sg_range = jnp.minimum(jnp.min(sharpness), thr)
-    r_phi_range = jnp.arccos((-0.95 * sg_range) / sharpness + 1.0)  # [L]
+    r_phi_range = jnp.arccos(jnp.clip((-0.95 * sg_range) / sharpness + 1.0,
+                                      -1.0 + 1e-6, 1.0 - 1e-6))  # [L]
     k1, k2 = jax.random.split(key)
     L = lobes.shape[0]
     r_theta = jax.random.uniform(k1, (L, nsamp)) * 2 * np.pi
@@ -244,7 +261,8 @@ def get_specular_visibility(key: jax.Array, points: jnp.ndarray, normals: jnp.nd
 
     u, v = _lobe_frame(ref_dir)
     sg_range = jnp.minimum(jnp.min(sharpness), 1.0)
-    r_phi_range = jnp.arccos((-0.95 * sg_range) / sharpness + 1.0)  # [N]
+    r_phi_range = jnp.arccos(jnp.clip((-0.95 * sg_range) / sharpness + 1.0,
+                                      -1.0 + 1e-6, 1.0 - 1e-6))  # [N]
     k1, k2 = jax.random.split(key)
     r_theta = jax.random.uniform(k1, (N, nsamp)) * 2 * np.pi
     r_phi = jax.random.uniform(k2, (N, nsamp)) * r_phi_range[:, None]

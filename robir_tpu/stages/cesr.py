@@ -1,0 +1,291 @@
+"""Stage CESR (RVE): shadow/illumination removal.
+
+Parity: ``training/train_cesr.py`` (ClusteredAlbedoTrainRunner): adds a
+fresh per-light diffuse-visibility ``shadow_net`` (SDF-style 8x512 MLP, in =
+PE10(x) (+) 128-dim one-hot light label -> 2 logits, ``:106-110``) and a
+refined ``normal_net`` (PE10(x) -> 3); the SG render runs with lin_diff=True
+and the per-SG diffuse visibility (softmax[..., 1]) replacing the sampled
+visibility (``get_sg_render:465-544``); rgb recomposed as
+``diffuse_lgt * albedo / pi + specular`` (``:523-524``); explore / project /
+warmup schedule drives the KL supervision weights (``is_explore_step /
+prefit_option:546-559``); latent dropout resamples the spec-AE ``var`` mask
+every ``dropout_iter`` steps (``:639-641``).
+
+TPU-native: the explore/project phase is a static argument (two jitted step
+variants), the dropout mask is explicit state passed into the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.syn_dataset import SynDataset
+from ..fields.encoding import PEConfig, positional_encoding
+from ..fields.sdf import SDFConfig, init_sdf, sdf_apply
+from ..render import sg as sg_lib
+from ..render.color import as_input, hdr2ldr
+from ..render.stage2 import Stage2Config, Stage2Model, stage2_forward
+from .losses import InvLossConfig, latent_smooth_loss, rgb_loss
+from .pbr import white_loss
+from .stage2_runner import (Stage2RunnerBase, StageOptConfig, join_params,
+                            make_adam, split_params)
+
+SHADOW_PE = PEConfig(num_freqs=10, input_dims=3)
+
+
+@dataclasses.dataclass(frozen=True)
+class CESRStageConfig:
+    num_pixels: int = 1024
+    max_iters: int = 200_001
+    opt: StageOptConfig = StageOptConfig(lr=5e-4)
+    loss: InvLossConfig = InvLossConfig()
+    explore_smooth: float = 0.1
+    explore_kl: float = 1.0
+    proj_smooth: float = 0.01
+    proj_kl: float = 0.01
+    explore_iter: int = 1000
+    proj_iter: int = 0
+    dropout_iter: int = 0
+    warmup_iters: int = 500
+    normal_switch_iter: int = 1000
+    white_light: bool = False
+    argmax_vis: bool = False
+
+    @property
+    def shadow_cfg(self) -> SDFConfig:
+        # SDFNetwork(PE + 128 one-hot, 2, 512, 8, [4], multires=0)
+        return SDFConfig(d_in=SHADOW_PE.out_dim + 128, d_out=2, d_hidden=512,
+                         n_layers=8, skip_in=(4,), multires=0)
+
+    @property
+    def normal_cfg(self) -> SDFConfig:
+        return SDFConfig(d_in=SHADOW_PE.out_dim, d_out=3, d_hidden=512,
+                         n_layers=8, skip_in=(4,), multires=0)
+
+    def prefit_option(self, cur_iter: int) -> str:
+        """train_cesr.py:546-559."""
+        if cur_iter <= self.warmup_iters:
+            return "warmup"
+        cycle = self.explore_iter + self.proj_iter
+        if cycle > 0 and (cur_iter % cycle) >= self.proj_iter:
+            return "explore"
+        return "project"
+
+
+def shadow_net_vis(shadow_params, cfg: CESRStageConfig, points: jnp.ndarray,
+                   num_lights: int) -> jnp.ndarray:
+    """Per-light diffuse visibility: [N, 3] -> [N, L] softmax[..., 1]
+    (train_cesr.py:492-504)."""
+    n = points.shape[0]
+    pe = positional_encoding(jax.lax.stop_gradient(points), SHADOW_PE)
+    pe = jnp.broadcast_to(pe[:, None, :], (n, num_lights, pe.shape[-1]))
+    labels = jnp.broadcast_to(jnp.eye(num_lights)[None], (n, num_lights, num_lights))
+    x = jnp.concatenate([pe, labels], -1).reshape(n * num_lights, -1)
+    logits = sdf_apply(shadow_params, cfg.shadow_cfg, x)
+    return jax.nn.softmax(logits.reshape(n, num_lights, 2), -1)[..., 1]
+
+
+def normal_net_apply(normal_params, cfg: CESRStageConfig,
+                     points: jnp.ndarray) -> jnp.ndarray:
+    pe = positional_encoding(jax.lax.stop_gradient(points), SHADOW_PE)
+    n = sdf_apply(normal_params, cfg.normal_cfg, pe)
+    return n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-4, None)
+
+
+def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
+                   indir_integral=None, *, shadow_params, normal_params,
+                   stage_cfg: CESRStageConfig, prefit: str, use_new_normal: bool,
+                   spec_var=None, train_spec=True, **_) -> dict:
+    """CESR get_sg_render (train_cesr.py:465-544)."""
+    view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
+    normals = model.sdf_gradient(points)
+    normals = normals / jnp.clip(jnp.linalg.norm(normals, axis=-1, keepdims=True),
+                                 1e-4, None)
+
+    k_mat, k_sg = jax.random.split(key)
+    mat = model.material(points, key=k_mat, train_spec=train_spec,
+                         spec_var=spec_var)
+    indir_integral = indir_integral * 2 * np.pi
+    normal_map = jax.lax.stop_gradient(mat.normal_map)
+
+    num_lights = mat.lgt_sgs.shape[0]
+    diffuse_vis = shadow_net_vis(shadow_params, stage_cfg, points, num_lights)
+    normal_new = normal_net_apply(normal_params, stage_cfg, points)
+    shade_normal = normal_new if use_new_normal else normal_map
+
+    sg_ret = sg_lib.render_with_all_sg(
+        k_sg, jax.lax.stop_gradient(points), shade_normal, view_dirs,
+        mat.lgt_sgs, jnp.abs(mat.specular_reflectance), mat.roughness,
+        mat.diffuse_albedo, indir_lgt_sgs=indir_lgt_sgs,
+        indir_integral=indir_integral, vis_fn=model.vis_logits,
+        lin_diff=True, diffuse_vis=diffuse_vis, prefit=prefit,
+        argmax_vis=stage_cfg.argmax_vis)
+
+    # recompose rgb: diffuse light x albedo / pi + specular (:523-524)
+    sg_rgb = sg_ret.sg_diffuse_rgb * mat.diffuse_albedo / np.pi + sg_ret.sg_specular_rgb
+    indir_rgb = (sg_ret.indir_diffuse_rgb * mat.diffuse_albedo / np.pi
+                 + sg_ret.indir_specular_rgb)
+
+    supervise = sg_ret.supervise
+    if stage_cfg.white_light and prefit != "warmup":
+        supervise = supervise + white_loss(mat.lgt_sgs)
+    supervise = supervise + jnp.mean((normal_map - normal_new) ** 2)
+
+    return {
+        "normals": normals, "sg_rgb": sg_rgb, "indir_rgb": indir_rgb,
+        "sg_diffuse_rgb": sg_ret.sg_diffuse_rgb,
+        "sg_specular_rgb": sg_ret.sg_specular_rgb,
+        "indir_diffuse_rgb": sg_ret.indir_diffuse_rgb,
+        "indir_specular_rgb": sg_ret.indir_specular_rgb,
+        "vis_shadow": sg_ret.vis_shadow, "gradient_error": supervise,
+        "supervise": supervise,
+        "diffuse_albedo": mat.diffuse_albedo, "roughness": mat.roughness,
+        "metallic": mat.metallic, "normal_map": normal_new,
+        "random_xi_roughness": mat.random_xi_roughness,
+        "random_xi_metallic": mat.random_xi_metallic,
+        "random_xi_diffuse_albedo": mat.random_xi_diffuse_albedo,
+    }
+
+
+def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
+                   optimizer: optax.GradientTransformation):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("prefit", "use_new_normal",
+                                                 "use_rgb_loss"))
+    def step(trainable, frozen, opt_state, grid_values, spec_var, batch, key,
+             prefit: str, use_new_normal: bool, use_rgb_loss: bool):
+        def loss_fn(tp):
+            params = join_params(tp, frozen)
+            model_params = {k: v for k, v in params.items()
+                            if k not in ("shadow_net", "normal_net")}
+            model = Stage2Model(model_params, cfg, grid_values)
+            n = batch["dirs"].shape[0]
+            hdr_shift = jnp.broadcast_to(as_input(params["gamma"]), (n, 1))
+            inp = {"points": batch["points"], "dirs": batch["dirs"],
+                   "object_mask": batch["object_mask"], "hdr_shift": hdr_shift}
+
+            render = functools.partial(
+                cesr_sg_render, shadow_params=params["shadow_net"],
+                normal_params=params["normal_net"], stage_cfg=stage_cfg,
+                prefit=prefit, use_new_normal=use_new_normal,
+                spec_var=spec_var)
+            out = stage2_forward(model, key, inp, trainstage="Material",
+                                 sg_render_fn=render, train_spec=True)
+
+            metrics = {}
+            total = out["supervise"]  # sv_loss (train_cesr.py:433)
+            metrics["sv_loss"] = out["supervise"]
+
+            if use_rgb_loss:
+                pred = out["sg_rgb"] + out["indir_rgb"]
+                pred = hdr2ldr(params["gamma"], cfg.tonemap, pred)
+                mask = out["network_object_mask"] & out["object_mask"]
+                sg_rgb_loss = rgb_loss(stage_cfg.loss, pred, batch["rgb"], mask)
+
+                if prefit == "project":
+                    smooth_w, kl_w = stage_cfg.proj_smooth, stage_cfg.proj_kl
+                else:
+                    smooth_w, kl_w = stage_cfg.explore_smooth, stage_cfg.explore_kl
+
+                from ..fields.sparse_ae import encode as ae_encode
+                pts_pe = positional_encoding(out["points"], cfg.envmap.pe)
+                latent = ae_encode(
+                    params["envmap_material_network"]["spec_brdf_encoder_layer"],
+                    cfg.envmap.spec_brdf_ae, pts_pe, var=spec_var)
+                w = mask.astype(jnp.float32)[:, None]
+                rho_hat = jnp.sum(jax.nn.sigmoid(latent) * w, 0) / jnp.clip(
+                    jnp.sum(w), 1.0, None)
+                rho = 0.05
+                kl = jnp.mean(rho * jnp.log(rho / (rho_hat + 1e-4)) + (1 - rho)
+                              * jnp.log((1 - rho) / (1 - rho_hat + 1e-4))) * kl_w
+                smooth = latent_smooth_loss(
+                    out["diffuse_albedo"], out["roughness"],
+                    out["random_xi_diffuse_albedo"], out["random_xi_roughness"]
+                ) * smooth_w
+                total = total + sg_rgb_loss + kl + smooth
+                mse = jnp.sum(w * (pred - batch["rgb"]) ** 2) / jnp.clip(
+                    jnp.sum(w) * 3, 1.0, None)
+                metrics.update({"rgb_loss": sg_rgb_loss, "kl": kl,
+                                "smooth": smooth,
+                                "psnr": -10 / np.log(10) * jnp.log(mse + 1e-12)})
+            metrics["loss"] = total
+            return total, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, metrics
+
+    return step
+
+
+class CESRRunner(Stage2RunnerBase):
+    stage_name = "CESR"
+    TRAINABLE = ("gamma", "envmap_material_network", "shadow_net", "normal_net")
+
+    def __init__(self, cfg: Stage2Config, params: dict, dataset: SynDataset,
+                 stage_cfg: CESRStageConfig = CESRStageConfig(),
+                 log_dir: str | None = None, seed: int = 0):
+        # fresh shadow/normal nets (train_cesr.py:106-110)
+        params = dict(params)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 77))
+        params["shadow_net"] = init_sdf(k1, stage_cfg.shadow_cfg)
+        params["normal_net"] = init_sdf(k2, stage_cfg.normal_cfg)
+        super().__init__(cfg, params, log_dir, seed)
+        self.stage_cfg = stage_cfg
+        self.dataset = dataset
+        self.optimizer = make_adam(stage_cfg.opt)
+        self._trainable, self._frozen = split_params(params, self.TRAINABLE)
+        self.opt_state = self.optimizer.init(self._trainable)
+        self._step = make_cesr_step(cfg, stage_cfg, self.optimizer)
+        self.spec_var = jnp.zeros((cfg.envmap.latent_dim,))
+
+    def load_pbr_checkpoint(self, path: str) -> None:
+        """Drop cluster/spec_brdf keys unless dropout disabled
+        (train_cesr.py:136-139)."""
+        no_discard = self.stage_cfg.dropout_iter == -1
+        self.restore_surgical(
+            path,
+            keep=lambda p: (not p.startswith(("shadow_net", "normal_net")))
+            and ("spec_brdf" not in p or no_discard))
+        self._trainable, self._frozen = split_params(self.params, self.TRAINABLE)
+        self.opt_state = self.optimizer.init(self._trainable)
+
+    def _batch(self):
+        idx = int(self.rng.integers(self.dataset.n_cameras))
+        b = self.dataset.sample_pixels(self.rng, idx, self.stage_cfg.num_pixels)
+        return {"points": jnp.asarray(b["points"]), "dirs": jnp.asarray(b["dirs"]),
+                "object_mask": jnp.asarray(b["object_mask"]),
+                "rgb": jnp.asarray(b["rgb"])}
+
+    def run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
+        sc = self.stage_cfg
+        metrics = {}
+        for _ in range(n_iters):
+            batch = self._batch()
+            prefit = sc.prefit_option(self.cur_iter)
+            self._trainable, self.opt_state, m = self._step(
+                self._trainable, self._frozen, self.opt_state,
+                self.grid_values, self.spec_var, batch, self.next_key(),
+                prefit=prefit,
+                use_new_normal=self.cur_iter > sc.normal_switch_iter,
+                use_rgb_loss=self.cur_iter > sc.warmup_iters)
+            self.cur_iter += 1
+            # latent dropout resample (train_cesr.py:639-641)
+            if sc.dropout_iter > 0 and self.cur_iter % sc.dropout_iter == 0:
+                self.spec_var = (jax.random.uniform(
+                    self.next_key(), self.spec_var.shape) > 0.8).astype(jnp.float32)
+            if log_every and self.cur_iter % log_every == 0:
+                metrics = {k: float(v) for k, v in m.items()}
+                if log_fn:
+                    log_fn(self.cur_iter, metrics)
+        self.params = join_params(self._trainable, self._frozen)
+        if not metrics:
+            metrics = {k: float(v) for k, v in m.items()}
+        return metrics

@@ -1,0 +1,199 @@
+"""Stage PBR: SG envmap + BRDF estimation with HDR calibration.
+
+Parity: ``training/train_pbr.py`` (PBRTrainRunner): surgical restore of the
+Norm checkpoint (keep only ``normal_decoder_layer``, :157-159) and the Vis
+checkpoint (indirect + visibility nets, :195-203); full SG render with the
+learned normal map as shading normal, indirect integral x 2pi, and
+|specular_reflectance| (``get_sg_render:348-396``); loss = hdr2ldr'd
+reconstruction + KL sparsity + 0.1 x latent smooth + white-light
+regularizer (``pbr_step:318-346``, ``white_loss:313-316``); trains gamma +
+envmap material (:104-106).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.syn_dataset import SynDataset
+from ..fields.encoding import positional_encoding
+from ..fields.sparse_ae import encode as ae_encode
+from ..render import sg as sg_lib
+from ..render.color import as_input, hdr2ldr
+from ..render.stage2 import Stage2Config, Stage2Model, stage2_forward
+from .losses import InvLossConfig, latent_smooth_loss, rgb_loss
+from .stage2_runner import (Stage2RunnerBase, StageOptConfig, join_params,
+                            make_adam, split_params)
+
+
+@dataclasses.dataclass(frozen=True)
+class PBRStageConfig:
+    num_pixels: int = 1024
+    max_iters: int = 200_001
+    opt: StageOptConfig = StageOptConfig(lr=5e-4)
+    loss: InvLossConfig = InvLossConfig()
+    use_normal_map: bool = True  # False when no Norm ckpt (no_normal flag)
+
+
+def white_loss(lgt_sgs: jnp.ndarray) -> jnp.ndarray:
+    """Chromaticity variance of SG amplitudes (train_pbr.py:313-316)."""
+    lgt = jnp.abs(lgt_sgs[..., -3:])
+    mu = jnp.linalg.norm(lgt, axis=-1, keepdims=True) + 1e-4
+    return jnp.var(lgt / mu, axis=-1).mean() * 0.01
+
+
+def pbr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
+                  indir_integral=None, train_spec=True, lin_diff=False,
+                  use_normal_map=True, argmax_vis=False, **_) -> dict:
+    """The PBR get_sg_render override (train_pbr.py:348-396)."""
+    view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
+    normals = model.sdf_gradient(points)
+    normals = normals / jnp.clip(jnp.linalg.norm(normals, axis=-1, keepdims=True),
+                                 1e-4, None)
+
+    k_mat, k_sg = jax.random.split(key)
+    mat = model.material(points, key=k_mat, train_spec=train_spec)
+    indir_integral = indir_integral * 2 * np.pi
+
+    shade_normal = mat.normal_map if use_normal_map else normals
+    sg_ret = sg_lib.render_with_all_sg(
+        k_sg, jax.lax.stop_gradient(points),
+        jax.lax.stop_gradient(shade_normal), view_dirs, mat.lgt_sgs,
+        jnp.abs(mat.specular_reflectance), mat.roughness, mat.diffuse_albedo,
+        indir_lgt_sgs=indir_lgt_sgs, indir_integral=indir_integral,
+        vis_fn=model.vis_logits, lin_diff=lin_diff, argmax_vis=argmax_vis)
+
+    return {
+        "normals": normals,
+        "sg_rgb": sg_ret.sg_rgb, "sg_specular_rgb": sg_ret.sg_specular_rgb,
+        "sg_diffuse_rgb": sg_ret.sg_diffuse_rgb, "indir_rgb": sg_ret.indir_rgb,
+        "indir_diffuse_rgb": sg_ret.indir_diffuse_rgb,
+        "indir_specular_rgb": sg_ret.indir_specular_rgb,
+        "vis_shadow": sg_ret.vis_shadow, "supervise": sg_ret.supervise,
+        "diffuse_albedo": mat.diffuse_albedo, "roughness": mat.roughness,
+        "metallic": mat.metallic, "normal_map": mat.normal_map,
+        "random_xi_roughness": mat.random_xi_roughness,
+        "random_xi_metallic": mat.random_xi_metallic,
+        "random_xi_diffuse_albedo": mat.random_xi_diffuse_albedo,
+        "random_xi_normal": mat.random_xi_normal,
+    }
+
+
+def make_pbr_step(cfg: Stage2Config, stage_cfg: PBRStageConfig,
+                  optimizer: optax.GradientTransformation):
+
+    @jax.jit
+    def step(trainable, frozen, opt_state, grid_values, batch, key):
+        def loss_fn(tp):
+            params = join_params(tp, frozen)
+            model = Stage2Model(params, cfg, grid_values)
+            n = batch["dirs"].shape[0]
+            hdr_shift = jnp.broadcast_to(as_input(params["gamma"]), (n, 1))
+            inp = {"points": batch["points"], "dirs": batch["dirs"],
+                   "object_mask": batch["object_mask"], "hdr_shift": hdr_shift}
+            out = stage2_forward(
+                model, key, inp, trainstage="Material",
+                sg_render_fn=lambda m, k, p, v, isgs, **kw: pbr_sg_render(
+                    m, k, p, v, isgs, use_normal_map=stage_cfg.use_normal_map,
+                    **kw),
+                train_spec=True)
+
+            pred = out["sg_rgb"] + out["indir_rgb"]
+            pred = hdr2ldr(params["gamma"], cfg.tonemap, pred)
+            mask = out["network_object_mask"] & out["object_mask"]
+            sg_rgb_loss = rgb_loss(stage_cfg.loss, pred, batch["rgb"], mask)
+
+            # KL on spec-brdf latents of surface points (loss.py:85-95);
+            # masked mean over surface lanes only
+            pts_pe = positional_encoding(out["points"], cfg.envmap.pe)
+            latent = ae_encode(
+                params["envmap_material_network"]["spec_brdf_encoder_layer"],
+                cfg.envmap.spec_brdf_ae, pts_pe)
+            w = mask.astype(jnp.float32)[:, None]
+            rho_hat = jnp.sum(jax.nn.sigmoid(latent) * w, 0) / jnp.clip(
+                jnp.sum(w), 1.0, None)
+            rho = 0.05
+            kl = jnp.mean(rho * jnp.log(rho / (rho_hat + 1e-4)) + (1 - rho)
+                          * jnp.log((1 - rho) / (1 - rho_hat + 1e-4)))
+            kl = kl * stage_cfg.loss.kl_weight
+
+            smooth = latent_smooth_loss(
+                out["diffuse_albedo"], out["roughness"],
+                out["random_xi_diffuse_albedo"], out["random_xi_roughness"]
+            ) * 0.1
+
+            wl = white_loss(params["envmap_material_network"]["lgtSGs"])
+            total = (stage_cfg.loss.sg_rgb_weight * sg_rgb_loss + kl + smooth + wl)
+            mse = jnp.sum(mask[:, None] * (pred - batch["rgb"]) ** 2) / (
+                jnp.clip(jnp.sum(mask) * 3, 1.0, None))
+            return total, {"loss": total, "rgb_loss": sg_rgb_loss, "kl": kl,
+                           "smooth": smooth, "white": wl,
+                           "psnr": -10 / np.log(10) * jnp.log(mse + 1e-12)}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, metrics
+
+    return step
+
+
+class PBRRunner(Stage2RunnerBase):
+    stage_name = "PBR"
+    TRAINABLE = ("gamma", "envmap_material_network")
+
+    def __init__(self, cfg: Stage2Config, params: dict, dataset: SynDataset,
+                 stage_cfg: PBRStageConfig = PBRStageConfig(),
+                 log_dir: str | None = None, seed: int = 0):
+        super().__init__(cfg, params, log_dir, seed)
+        self.stage_cfg = stage_cfg
+        self.dataset = dataset
+        self.optimizer = make_adam(stage_cfg.opt)
+        self._trainable, self._frozen = split_params(params, self.TRAINABLE)
+        self.opt_state = self.optimizer.init(self._trainable)
+        self._step = make_pbr_step(cfg, stage_cfg, self.optimizer)
+
+    # -- cross-stage surgery ------------------------------------------------
+
+    def load_norm_checkpoint(self, path: str) -> None:
+        """Keep only the normal decoder (train_pbr.py:157-159)."""
+        self.restore_surgical(
+            path, keep=lambda p: "normal_decoder_layer" in p)
+        self._trainable, self._frozen = split_params(self.params, self.TRAINABLE)
+        self.opt_state = self.optimizer.init(self._trainable)
+
+    def load_vis_checkpoint(self, path: str) -> None:
+        """Keep the indirect + visibility nets (train_pbr.py:195-203)."""
+        self.restore_surgical(
+            path, keep=lambda p: p.startswith("indirect_illum_network")
+            or p.startswith("visibility_network"))
+        self._trainable, self._frozen = split_params(self.params, self.TRAINABLE)
+        self.opt_state = self.optimizer.init(self._trainable)
+
+    def _batch(self):
+        idx = int(self.rng.integers(self.dataset.n_cameras))
+        b = self.dataset.sample_pixels(self.rng, idx, self.stage_cfg.num_pixels)
+        return {"points": jnp.asarray(b["points"]), "dirs": jnp.asarray(b["dirs"]),
+                "object_mask": jnp.asarray(b["object_mask"]),
+                "rgb": jnp.asarray(b["rgb"])}
+
+    def run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
+        metrics = {}
+        for _ in range(n_iters):
+            batch = self._batch()
+            self._trainable, self.opt_state, m = self._step(
+                self._trainable, self._frozen, self.opt_state,
+                self.grid_values, batch, self.next_key())
+            self.cur_iter += 1
+            if log_every and self.cur_iter % log_every == 0:
+                metrics = {k: float(v) for k, v in m.items()}
+                if log_fn:
+                    log_fn(self.cur_iter, metrics)
+        self.params = join_params(self._trainable, self._frozen)
+        if not metrics:
+            metrics = {k: float(v) for k, v in m.items()}
+        return metrics

@@ -1,0 +1,137 @@
+"""Shared stage-2 runner infrastructure.
+
+Replaces the duplicated plumbing of the four reference runners
+(``training/train_{normal,visibility,pbr,cesr}.py``): experiment dirs +
+checkpoints with cross-stage surgical restore, per-subtree Adam optimizers
+with MultiStep LR, and the host training loop around jitted pure steps.
+
+TPU-native: parameters are split into (trainable, frozen) sub-pytrees by
+path prefix; the jitted step differentiates only the trainable part. LR
+schedules are optax piecewise-constant (the reference's MultiStepLR).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import checkpoint as ckpt_lib
+from ..core.tree import drop_prefixes, keep_prefixes
+from ..fields.envmap_material import init_envmap_material
+from ..fields.neus_model import init_neus
+from ..fields.visibility import init_indirect, init_visnet
+from ..render.color import init_tonemap
+from ..render.stage2 import Stage2Config, Stage2Model
+from ..tracing.grid import build_sdf_grid
+
+
+@dataclasses.dataclass(frozen=True)
+class StageOptConfig:
+    lr: float = 5e-4
+    sched_milestones: tuple[int, ...] = ()
+    sched_factor: float = 0.5
+
+
+def multistep_lr(cfg: StageOptConfig):
+    """torch MultiStepLR equivalent."""
+    if not cfg.sched_milestones:
+        return cfg.lr
+    return optax.piecewise_constant_schedule(
+        cfg.lr, {int(m): cfg.sched_factor for m in cfg.sched_milestones})
+
+
+def make_adam(cfg: StageOptConfig) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=multistep_lr(cfg))
+
+
+def init_stage2_params(key: jax.Array, cfg: Stage2Config) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "implicit_network": init_neus(k1, cfg.neus),
+        "envmap_material_network": init_envmap_material(k2, cfg.envmap),
+        "indirect_illum_network": init_indirect(k3, cfg.indirect),
+        "visibility_network": init_visnet(k4, cfg.visnet),
+        "gamma": init_tonemap(cfg.tonemap),
+    }
+
+
+def split_params(params: dict, trainable_prefixes: Sequence[str]):
+    """(trainable, frozen) sub-pytrees by top-level path prefix."""
+    t = keep_prefixes(params, tuple(trainable_prefixes))
+    f = drop_prefixes(params, tuple(trainable_prefixes))
+    return t, f
+
+
+def join_params(trainable: dict, frozen: dict) -> dict:
+    """Inverse of :func:`split_params` (shallow two-level merge)."""
+    out = {}
+    for src in (frozen, trainable):
+        for k, v in src.items():
+            if k in out and isinstance(v, dict) and isinstance(out[k], dict):
+                out[k] = {**out[k], **v}
+            else:
+                out[k] = v
+    return out
+
+
+class Stage2RunnerBase:
+    """Host-side loop: data, checkpoints, jitted steps, grid baking."""
+
+    stage_name = "Base"
+
+    def __init__(self, cfg: Stage2Config, params: dict, log_dir: str | None = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.params = params
+        self.log_dir = log_dir
+        self.key = jax.random.PRNGKey(seed)
+        self.rng = np.random.default_rng(seed)
+        self.cur_iter = 0
+        self.grid_values = None
+
+    # -- tracer -------------------------------------------------------------
+
+    def bake_grid(self) -> None:
+        """Bake the cached-SDF grid from the frozen NeuS (the reference's
+        ``ray_tracer.generate``)."""
+        model = Stage2Model(self.params, self.cfg)
+        self.grid_values = build_sdf_grid(model.sdf, self.cfg.grid)
+
+    def model(self) -> Stage2Model:
+        return Stage2Model(self.params, self.cfg, self.grid_values)
+
+    def next_key(self) -> jax.Array:
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # -- checkpointing ------------------------------------------------------
+
+    def ckpt_dir(self) -> str:
+        assert self.log_dir
+        return os.path.join(self.log_dir, self.stage_name, "checkpoints")
+
+    def save(self, extra: dict | None = None) -> str:
+        path = ckpt_lib.step_path(self.ckpt_dir(), self.cur_iter)
+        ckpt_lib.save(path, self.params, step=self.cur_iter, extra=extra)
+        latest = os.path.join(self.ckpt_dir(), "latest.npz")
+        ckpt_lib.save(latest, self.params, step=self.cur_iter, extra=extra)
+        return path
+
+    def restore_surgical(self, path: str, keep: Callable[[str], bool]) -> None:
+        """Path-filtered partial restore (the reference's cross-stage
+        checkpoint surgery, e.g. train_pbr.py:122-203)."""
+        self.params, _ = ckpt_lib.restore_into(self.params, path, keep=keep)
+
+    def restore_latest(self) -> bool:
+        path = os.path.join(self.ckpt_dir(), "latest.npz")
+        if not os.path.exists(path):
+            return False
+        self.params, meta = ckpt_lib.restore_into(self.params, path)
+        self.cur_iter = meta.get("step", 0)
+        return True

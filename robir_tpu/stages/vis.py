@@ -1,0 +1,149 @@
+"""Stage Vis: visibility MLP + indirect-illumination SG field.
+
+Parity: ``training/train_visibility.py`` (VisTrainRunner): Energy-net
+prefit at startup (``:274``), per-step random ``hdr_shift`` (``:297``),
+forward in 'Illum' mode + 512-direction secondary-ray tracing through the
+frozen NeuS (``:298-299``), IllumLoss split into a radiance loss stepping
+the indirect net and a cross-entropy visibility loss stepping the vis net,
+with two separate Adam optimizers (``:99-112, :306-313``).
+
+TPU-native: both losses and both optimizer updates run in ONE jitted step —
+gradients are taken separately per subtree, exactly matching the two
+independent backward passes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.syn_dataset import SynDataset
+from ..render.color import fit_energy, ldr2hdr
+from ..render.stage2 import Stage2Config, Stage2Model, stage2_forward, trace_radiance
+from .losses import IllumLossConfig, illum_loss
+from .stage2_runner import (Stage2RunnerBase, StageOptConfig, join_params,
+                            make_adam, split_params)
+
+
+@dataclasses.dataclass(frozen=True)
+class VisStageConfig:
+    num_pixels: int = 256
+    nsamp: int = 512
+    max_iters: int = 200_001
+    opt: StageOptConfig = StageOptConfig(lr=5e-4)
+    loss: IllumLossConfig = IllumLossConfig(loss_type="L1")
+    anneal_t: float = 0.0
+
+
+def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
+                  vis_opt: optax.GradientTransformation,
+                  illum_opt: optax.GradientTransformation):
+
+    @jax.jit
+    def step(vis_params, illum_params, frozen, vis_state, illum_state,
+             grid_values, batch, key):
+        k_fwd, k_trace = jax.random.split(key)
+
+        def run_model(vp, ip):
+            params = join_params(join_params(vp, ip), frozen)
+            model = Stage2Model(params, cfg, grid_values)
+            inp = {"points": batch["points"], "dirs": batch["dirs"],
+                   "object_mask": batch["object_mask"],
+                   "hdr_shift": batch["hdr_shift"]}
+            fwd = stage2_forward(model, k_fwd, inp, trainstage="Illum")
+            trace = trace_radiance(model, k_trace, fwd, nsamp=stage_cfg.nsamp)
+            return illum_loss(
+                stage_cfg.loss,
+                indirect_sgs=fwd["indirect_sgs"],
+                indir_integral=fwd["indir_integral"],
+                network_object_mask=fwd["network_object_mask"],
+                trace_radiance=trace["trace_radiance"],
+                sample_dirs=trace["sample_dirs"],
+                gt_vis=trace["gt_vis"],
+                pred_vis=trace["pred_vis"],
+                indir_mask=trace["indir_mask"],
+                gt_integral=trace["gt_integral"],
+                anneal_t=stage_cfg.anneal_t)
+
+        # visibility loss -> vis net only (aux carries the radiance loss)
+        (vis_loss, _), vis_grads = jax.value_and_grad(
+            lambda vp: tuple(reversed(run_model(vp, illum_params))),
+            has_aux=True)(vis_params)
+        # radiance loss -> indirect net only
+        (rad_loss, _), illum_grads = jax.value_and_grad(
+            lambda ip: run_model(vis_params, ip), has_aux=True)(illum_params)
+
+        v_updates, vis_state = vis_opt.update(vis_grads, vis_state, vis_params)
+        vis_params = optax.apply_updates(vis_params, v_updates)
+        i_updates, illum_state = illum_opt.update(illum_grads, illum_state,
+                                                  illum_params)
+        illum_params = optax.apply_updates(illum_params, i_updates)
+        return vis_params, illum_params, vis_state, illum_state, {
+            "radiance_loss": rad_loss, "visibility_loss": vis_loss}
+
+    return step
+
+
+class VisRunner(Stage2RunnerBase):
+    stage_name = "Vis"
+    VIS_PREFIX = ("visibility_network",)
+    ILLUM_PREFIX = ("indirect_illum_network",)
+
+    def __init__(self, cfg: Stage2Config, params: dict, dataset: SynDataset,
+                 stage_cfg: VisStageConfig = VisStageConfig(),
+                 log_dir: str | None = None, seed: int = 0):
+        super().__init__(cfg, params, log_dir, seed)
+        self.stage_cfg = stage_cfg
+        self.dataset = dataset
+        self.vis_opt = make_adam(stage_cfg.opt)
+        self.illum_opt = make_adam(stage_cfg.opt)
+        self._vis, rest = split_params(params, self.VIS_PREFIX)
+        self._illum, self._frozen = split_params(rest, self.ILLUM_PREFIX)
+        self.vis_state = self.vis_opt.init(self._vis)
+        self.illum_state = self.illum_opt.init(self._illum)
+        self._step = make_vis_step(cfg, stage_cfg, self.vis_opt, self.illum_opt)
+
+    def fit_energy_prologue(self, n_steps: int = 1000) -> None:
+        """Energy-net inner fit on the dataset's masked pixels
+        (train_visibility.py:274 -> energy_integral.py:51-77)."""
+        px = jnp.asarray(np.clip(self.dataset.masked_pixels(), 1e-4, 1.0))
+        gamma = self.params["gamma"]
+
+        def l2h(x, shift):
+            return ldr2hdr(gamma, self.cfg.tonemap, x, shift)
+
+        energy = fit_energy(self.next_key(), px, l2h, n_steps=n_steps)
+        self.params["gamma"]["energy"] = energy
+        self._frozen["gamma"]["energy"] = energy
+
+    def _batch(self):
+        idx = int(self.rng.integers(self.dataset.n_cameras))
+        b = self.dataset.sample_pixels(self.rng, idx, self.stage_cfg.num_pixels)
+        n = b["dirs"].shape[0]
+        hdr_shift = self.rng.random((n, 1)).astype(np.float32)  # :297
+        return {"points": jnp.asarray(b["points"]), "dirs": jnp.asarray(b["dirs"]),
+                "object_mask": jnp.asarray(b["object_mask"]),
+                "hdr_shift": jnp.asarray(hdr_shift)}
+
+    def run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
+        metrics = {}
+        for _ in range(n_iters):
+            batch = self._batch()
+            (self._vis, self._illum, self.vis_state, self.illum_state,
+             m) = self._step(self._vis, self._illum, self._frozen,
+                             self.vis_state, self.illum_state,
+                             self.grid_values, batch, self.next_key())
+            self.cur_iter += 1
+            if log_every and self.cur_iter % log_every == 0:
+                metrics = {k: float(v) for k, v in m.items()}
+                if log_fn:
+                    log_fn(self.cur_iter, metrics)
+        self.params = join_params(join_params(self._vis, self._illum),
+                                  self._frozen)
+        if not metrics:
+            metrics = {k: float(v) for k, v in m.items()}
+        return metrics

@@ -1,0 +1,162 @@
+"""End-to-end stage-2 pipeline: Norm -> Vis -> PBR -> CESR on the sphere.
+
+Uses small nets and few iterations; checks each stage's losses are finite
+and decreasing where expected, and that cross-stage checkpoint surgery
+moves the right subtrees.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robir_tpu.data.syn_dataset import SynDataset, SynDatasetConfig
+from robir_tpu.data.synthetic import make_sphere_dataset
+from robir_tpu.fields.envmap_material import EnvmapMaterialConfig
+from robir_tpu.fields.neus_model import NeuSConfig
+from robir_tpu.fields.radiance import RenderingConfig
+from robir_tpu.fields.sdf import SDFConfig
+from robir_tpu.fields.visibility import IndirIllumConfig, VisNetConfig
+from robir_tpu.render.color import ToneMapConfig
+from robir_tpu.render.stage2 import Stage2Config
+from robir_tpu.stages.cesr import CESRRunner, CESRStageConfig
+from robir_tpu.stages.norm import NormRunner, NormStageConfig
+from robir_tpu.stages.pbr import PBRRunner, PBRStageConfig
+from robir_tpu.stages.stage2_runner import (StageOptConfig, init_stage2_params)
+from robir_tpu.stages.vis import VisRunner, VisStageConfig
+from robir_tpu.texture.focus_sampler import (TexSpaceSampler,
+                                             focus_sampler_from_dataset)
+from robir_tpu.texture.mesh import extract_mesh
+from robir_tpu.texture.pipeline import TexSampler
+from robir_tpu.tracing.grid import GridConfig
+
+RADIUS = 0.5
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    scene_dir = str(tmp_path_factory.mktemp("syn"))
+    make_sphere_dataset(scene_dir, n_train=8, n_test=2, h=48, w=48, radius=RADIUS)
+    dataset = SynDataset(SynDatasetConfig(instance_dir=scene_dir))
+
+    cfg = Stage2Config(
+        neus=NeuSConfig(
+            sdf=SDFConfig(d_out=33, d_hidden=32, n_layers=3, skip_in=(),
+                          multires=3, bias=0.5),
+            color=RenderingConfig(d_feature=32, d_hidden=32, n_layers=2)),
+        envmap=EnvmapMaterialConfig(multires=4, num_lgt_sgs=16,
+                                    encoder_dims=(64, 64), decoder_dims=(32,)),
+        indirect=IndirIllumConfig(multires=4, dims=(32, 32), num_lgt_sgs=8),
+        visnet=VisNetConfig(points_multires=4, dirs_multires=4, dims=(32, 32)),
+        tonemap=ToneMapConfig(hdr_mode=2),
+        grid=GridConfig(resolution=64, bbox_min=(-0.45,) * 3,
+                        bbox_max=(0.45,) * 3))
+
+    params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+
+    # mesh + texture pipeline from the frozen NeuS geometry (the stage-1
+    # artifact); here the geometric-init sphere plays that role.
+    from robir_tpu.render.stage2 import Stage2Model
+    model = Stage2Model(params, cfg)
+    mesh_dir = tmp_path_factory.mktemp("mesh")
+    mesh = extract_mesh(lambda x: model.sdf(x * 0.5) * 2.0,  # stage-1 coords
+                        resolution=48, bbox_min=(-0.9,) * 3, bbox_max=(0.9,) * 3)
+    mesh_path = str(mesh_dir / "mesh.ply")
+    mesh.export_ply(mesh_path)
+    return dataset, cfg, params, mesh_path
+
+
+SMALL_OPT = StageOptConfig(lr=1e-3)
+SMALL_SHADOW = dict(d_hidden=64, n_layers=3, skip_in=())
+
+
+def small_cesr_cfg():
+    import dataclasses as dc
+    from robir_tpu.stages import cesr as cesr_mod
+
+    @dc.dataclass(frozen=True)
+    class SmallCESR(CESRStageConfig):
+        @property
+        def shadow_cfg(self):
+            return SDFConfig(d_in=cesr_mod.SHADOW_PE.out_dim + 16, d_out=2,
+                             d_hidden=64, n_layers=3, skip_in=(), multires=0)
+
+        @property
+        def normal_cfg(self):
+            return SDFConfig(d_in=cesr_mod.SHADOW_PE.out_dim, d_out=3,
+                             d_hidden=64, n_layers=3, skip_in=(), multires=0)
+
+    return SmallCESR(num_pixels=64, opt=SMALL_OPT, explore_iter=10,
+                     proj_iter=5, warmup_iters=3, normal_switch_iter=5,
+                     dropout_iter=7)
+
+
+def test_full_stage2_pipeline(setup, tmp_path):
+    dataset, cfg, params, mesh_path = setup
+    log_dir = str(tmp_path)
+
+    # ---- Norm ----
+    ts = TexSampler(mesh_path, resolution=256)
+    fs = focus_sampler_from_dataset(dataset)
+    norm = NormRunner(cfg, params, None,
+                      NormStageConfig(num_pixels=128, opt=SMALL_OPT,
+                                      smooth_after=5),
+                      log_dir=log_dir)
+    norm.bake_grid()
+    from robir_tpu.texture.focus_sampler import TexSpaceSampler
+    from robir_tpu.tracing.grid import grid_cast
+    trace = jax.jit(lambda o, d: grid_cast(norm.grid_values, cfg.grid, o, d))
+    norm.sampler = TexSpaceSampler(ts, fs, trace)
+
+    m0 = norm.run(2, log_every=1)
+    m1 = norm.run(40, log_every=1)
+    assert np.isfinite(m1["loss"])
+    assert m1["normal_loss"] < m0["normal_loss"], (m0, m1)
+    norm_ckpt = norm.save()
+
+    # ---- Vis ----
+    vis = VisRunner(cfg, params,
+                    dataset, VisStageConfig(num_pixels=32, nsamp=32,
+                                            opt=SMALL_OPT), log_dir=log_dir)
+    vis.grid_values = norm.grid_values
+    vis.fit_energy_prologue(n_steps=50)
+    v0 = vis.run(2, log_every=1)
+    v1 = vis.run(30, log_every=1)
+    assert np.isfinite(v1["radiance_loss"]) and np.isfinite(v1["visibility_loss"])
+    assert v1["visibility_loss"] < v0["visibility_loss"]
+    vis_ckpt = vis.save()
+
+    # ---- PBR (with surgery from Norm + Vis) ----
+    pbr = PBRRunner(cfg, params,
+                    dataset, PBRStageConfig(num_pixels=64, opt=SMALL_OPT),
+                    log_dir=log_dir)
+    pbr.grid_values = norm.grid_values
+    pbr.load_norm_checkpoint(norm_ckpt)
+    pbr.load_vis_checkpoint(vis_ckpt)
+
+    # surgery moved the right subtrees
+    for a, b in zip(jax.tree_util.tree_leaves(
+            pbr.params["envmap_material_network"]["normal_decoder_layer"]),
+            jax.tree_util.tree_leaves(
+            norm.params["envmap_material_network"]["normal_decoder_layer"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(pbr.params["visibility_network"]),
+                    jax.tree_util.tree_leaves(vis.params["visibility_network"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p0 = pbr.run(2, log_every=1)
+    p1 = pbr.run(40, log_every=1)
+    assert np.isfinite(p1["loss"])
+    assert p1["rgb_loss"] < p0["rgb_loss"], (p0, p1)
+    pbr_ckpt = pbr.save()
+
+    # ---- CESR ----
+    cesr = CESRRunner(cfg, pbr.params, dataset, small_cesr_cfg(),
+                      log_dir=log_dir)
+    cesr.grid_values = norm.grid_values
+    cesr.load_pbr_checkpoint(pbr_ckpt)
+    c = cesr.run(20, log_every=1)
+    assert np.isfinite(c["loss"])
+    assert "rgb_loss" in c  # past warmup, full loss active
+    # dropout mask was resampled at least once (iter 7, 14)
+    assert float(jnp.sum(cesr.spec_var)) >= 0

@@ -1,0 +1,280 @@
+"""Command-line entry points for the RobIR-TPU pipeline.
+
+Replaces the reference's two CLIs (``training/exp_runner.py`` argparse for
+stage 2, ``neus/exp_runner.py`` absl+gin for stage 1) with one front end:
+
+    python -m robir_tpu.cli neus   --conf configs/hotdog.json --data DIR
+    python -m robir_tpu.cli mesh   --conf ... --ckpt ... --out mesh.ply
+    python -m robir_tpu.cli norm   --conf ... --data DIR --mesh mesh.ply
+    python -m robir_tpu.cli vis    --conf ... --data DIR
+    python -m robir_tpu.cli pbr    --conf ... --data DIR
+    python -m robir_tpu.cli cesr   --conf ... --data DIR
+    python -m robir_tpu.cli relight --conf ... --envmap envmaps/envmap6
+    python -m robir_tpu.cli sgfit  --envmap_path envmaps/envmap3.exr
+
+Stage sequencing uses explicit ``--log_dir`` artifacts (no import-time
+global path registry like ``confs_sg/env_path.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--conf", type=str, required=True)
+    p.add_argument("--data", type=str, default=None)
+    p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--n_iters", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   help="dotted config override, e.g. --set model.grid.resolution=128")
+    p.add_argument("--is_continue", action="store_true")
+
+
+def _load(args):
+    from .core.config import apply_overrides, load_config
+    cfg = load_config(args.conf)
+    apply_overrides(cfg, args.overrides)
+    return cfg
+
+
+def _stage2_setup(args, cfg_dict):
+    import jax
+
+    from .core.config import build_stage2_config
+    from .core import checkpoint as ckpt_lib
+    from .data.syn_dataset import SynDataset, SynDatasetConfig
+    from .stages.stage2_runner import init_stage2_params
+
+    cfg = build_stage2_config(cfg_dict["model"])
+    dataset = SynDataset(SynDatasetConfig(
+        instance_dir=args.data, **cfg_dict.get("dataset", {})))
+    params = init_stage2_params(jax.random.PRNGKey(args.seed), cfg)
+    # frozen stage-1 geometry: the NeuS trainer checkpoint stores the model
+    # under 'params/...'; it becomes the stage-2 'implicit_network' bridge
+    # (the reference's ImplicitNetworkMy tarball load, neus_model.py:770-782)
+    neus_ckpt = cfg_dict.get("neus_checkpoint") or os.path.join(
+        args.log_dir, "NeuS")
+    path = neus_ckpt if os.path.isfile(neus_ckpt) else \
+        ckpt_lib.latest_path(neus_ckpt)
+    if path:
+        import jax.numpy as jnp
+        loaded, _ = ckpt_lib.load(path)
+        params["implicit_network"] = jax.tree_util.tree_map(
+            jnp.asarray, loaded["params"])
+        print(f"[stage2] frozen NeuS geometry from {path}")
+    else:
+        print("[stage2] warning: no NeuS checkpoint found; using fresh init")
+    return cfg, dataset, params
+
+
+def _run_stage(runner, args, stage_cfg_iters, log_name):
+    if args.is_continue:
+        runner.restore_latest()
+    if runner.grid_values is None:
+        runner.bake_grid()
+    n = args.n_iters or stage_cfg_iters
+
+    def log(it, m):
+        line = ", ".join(f"{k}={v:.5g}" for k, v in m.items())
+        print(f"[{log_name}] iter {it}: {line}", flush=True)
+
+    runner.run(n, log_every=50, log_fn=log)
+    path = runner.save()
+    print(f"[{log_name}] saved {path}")
+
+
+def cmd_neus(args):
+    from .core.config import build_neus_config, build_neus_render_config
+    from .data.blender import BlenderConfig, BlenderScene
+    from .stages.neus_stage import NeusTrainConfig, NeusTrainer
+    cfg_dict = _load(args)
+    model_cfg = build_neus_config(cfg_dict["model"])
+    render_cfg = build_neus_render_config(cfg_dict.get("render", {}))
+    tc = cfg_dict.get("train", {})
+    train_cfg = NeusTrainConfig(**tc)
+    scene = BlenderScene(BlenderConfig(dataset_dir=args.data,
+                                       **cfg_dict.get("dataset", {})), "train")
+    trainer = NeusTrainer(scene, model_cfg, render_cfg, train_cfg,
+                          log_dir=os.path.join(args.log_dir, "NeuS"),
+                          seed=args.seed)
+    if args.is_continue:
+        trainer.restore()
+    n = args.n_iters or train_cfg.max_steps
+
+    def log(it, m):
+        print(f"[NeuS] step {it}: " + ", ".join(
+            f"{k}={v:.5g}" for k, v in m.items()), flush=True)
+
+    trainer.run(n, log_every=50, metrics_cb=log)
+    print("[NeuS] saved", trainer.save())
+
+
+def cmd_mesh(args):
+    import jax
+
+    from .core import checkpoint as ckpt_lib
+    from .core.config import build_neus_config
+    from .fields.neus_model import NeuS, init_neus
+    from .texture.mesh import extract_mesh
+    cfg_dict = _load(args)
+    model_cfg = build_neus_config(cfg_dict["model"])
+    params = init_neus(jax.random.PRNGKey(0), model_cfg)
+    state = {"params": params}
+    state, _ = ckpt_lib.restore_into(
+        state, args.ckpt, keep=lambda p: p.startswith("params"))
+    model = NeuS(state["params"], model_cfg)
+    mcfg = cfg_dict.get("mesh", {})
+    mesh = extract_mesh(model.sdf, resolution=mcfg.get("resolution", 256),
+                        bbox_min=tuple(mcfg.get("bbox_min", (-1.2,) * 3)),
+                        bbox_max=tuple(mcfg.get("bbox_max", (1.2,) * 3)))
+    mesh.export_ply(args.out)
+    print(f"[mesh] {len(mesh.verts)} verts, {len(mesh.tris)} tris -> {args.out}")
+
+
+def cmd_norm(args):
+    import jax
+
+    from .stages.norm import NormRunner, NormStageConfig
+    from .texture.focus_sampler import (TexSpaceSampler,
+                                        focus_sampler_from_dataset)
+    from .texture.pipeline import TexSampler
+    from .tracing.grid import grid_cast
+    cfg_dict = _load(args)
+    cfg, dataset, params = _stage2_setup(args, cfg_dict)
+    from .core.config import build_stage_config
+    stage_cfg = build_stage_config(NormStageConfig, cfg_dict.get("norm"))
+    runner = NormRunner(cfg, params, None, stage_cfg,
+                        log_dir=args.log_dir, seed=args.seed)
+    runner.bake_grid()
+    ts = TexSampler(args.mesh, cfg_dict.get("texture_resolution", 2048))
+    fs = focus_sampler_from_dataset(dataset)
+    trace = jax.jit(lambda o, d: grid_cast(runner.grid_values, cfg.grid, o, d))
+    runner.sampler = TexSpaceSampler(ts, fs, trace)
+    _run_stage(runner, args, stage_cfg.max_iters, "Norm")
+
+
+def cmd_vis(args):
+    from .stages.vis import VisRunner, VisStageConfig
+    cfg_dict = _load(args)
+    cfg, dataset, params = _stage2_setup(args, cfg_dict)
+    from .core.config import build_stage_config
+    stage_cfg = build_stage_config(VisStageConfig, cfg_dict.get("vis"))
+    runner = VisRunner(cfg, params, dataset, stage_cfg,
+                       log_dir=args.log_dir, seed=args.seed)
+    runner.bake_grid()
+    runner.fit_energy_prologue()
+    _run_stage(runner, args, stage_cfg.max_iters, "Vis")
+
+
+def cmd_pbr(args):
+    from .stages.pbr import PBRRunner, PBRStageConfig
+    cfg_dict = _load(args)
+    cfg, dataset, params = _stage2_setup(args, cfg_dict)
+    from .core.config import build_stage_config
+    stage_cfg = build_stage_config(PBRStageConfig, cfg_dict.get("pbr"))
+    runner = PBRRunner(cfg, params, dataset, stage_cfg,
+                       log_dir=args.log_dir, seed=args.seed)
+    norm_ckpt = os.path.join(args.log_dir, "Norm", "checkpoints", "latest.npz")
+    vis_ckpt = os.path.join(args.log_dir, "Vis", "checkpoints", "latest.npz")
+    if os.path.exists(norm_ckpt):
+        runner.load_norm_checkpoint(norm_ckpt)
+    else:
+        print("[PBR] warning: no Norm checkpoint, shading with geometry normals")
+    if os.path.exists(vis_ckpt):
+        runner.load_vis_checkpoint(vis_ckpt)
+    else:
+        raise SystemExit("[PBR] missing Vis checkpoint; train Vis first")
+    _run_stage(runner, args, stage_cfg.max_iters, "PBR")
+
+
+def cmd_cesr(args):
+    from .stages.cesr import CESRRunner, CESRStageConfig
+    cfg_dict = _load(args)
+    cfg, dataset, params = _stage2_setup(args, cfg_dict)
+    from .core.config import build_stage_config
+    stage_cfg = build_stage_config(CESRStageConfig, cfg_dict.get("cesr"))
+    runner = CESRRunner(cfg, params, dataset, stage_cfg,
+                        log_dir=args.log_dir, seed=args.seed)
+    pbr_ckpt = os.path.join(args.log_dir, "PBR", "checkpoints", "latest.npz")
+    if not os.path.exists(pbr_ckpt):
+        raise SystemExit("[CESR] missing PBR checkpoint; train PBR first")
+    runner.load_pbr_checkpoint(pbr_ckpt)
+    _run_stage(runner, args, stage_cfg.max_iters, "CESR")
+
+
+def cmd_relight(args):
+    from .core import checkpoint as ckpt_lib
+    from .stages.stage2_runner import init_stage2_params
+    from .tools.relight import relight_views
+    from .tracing.grid import build_sdf_grid
+    from .render.stage2 import Stage2Model
+    import jax
+    cfg_dict = _load(args)
+    cfg, dataset, params = _stage2_setup(args, cfg_dict)
+    ckpt = args.ckpt or os.path.join(args.log_dir, "CESR", "checkpoints",
+                                     "latest.npz")
+    if not os.path.exists(ckpt):
+        ckpt = os.path.join(args.log_dir, "PBR", "checkpoints", "latest.npz")
+    params, _ = ckpt_lib.restore_into(params, ckpt, ignore_unknown=True)
+    grid = build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid)
+    out_dir = args.out or os.path.join(args.log_dir, "relight",
+                                       os.path.basename(args.envmap))
+    relight_views(params, cfg, grid, dataset, args.envmap, out_dir,
+                  view_indices=range(min(dataset.n_cameras, args.n_views)))
+    print("[relight] wrote", out_dir)
+
+
+def cmd_sgfit(args):
+    from .stages import sg_fit
+    sg_fit.main(["--envmap_path", args.envmap_path,
+                 "--num_sg", str(args.num_sg),
+                 "--n_iters", str(args.n_iters)]
+                + (["--out_dir", args.out_dir] if args.out_dir else []))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="robir_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    for name, fn in [("neus", cmd_neus), ("norm", cmd_norm), ("vis", cmd_vis),
+                     ("pbr", cmd_pbr), ("cesr", cmd_cesr)]:
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name == "norm":
+            p.add_argument("--mesh", type=str, required=True)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("mesh")
+    _add_common(p)
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--out", type=str, required=True)
+    p.set_defaults(fn=cmd_mesh)
+
+    p = sub.add_parser("relight")
+    _add_common(p)
+    p.add_argument("--envmap", type=str, required=True,
+                   help="dir containing sg_128.npy, with sibling <dir>.exr")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--n_views", type=int, default=4)
+    p.set_defaults(fn=cmd_relight)
+
+    p = sub.add_parser("sgfit")
+    p.add_argument("--envmap_path", type=str, required=True)
+    p.add_argument("--num_sg", type=int, default=128)
+    p.add_argument("--n_iters", type=int, default=100_000)
+    p.add_argument("--out_dir", type=str, default=None)
+    p.set_defaults(fn=cmd_sgfit)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,16 +53,21 @@ def load(path: str) -> tuple[Params, dict]:
 
 
 def restore_into(base: Params, path: str,
-                 keep: Callable[[str], bool] | None = None) -> tuple[Params, dict]:
+                 keep: Callable[[str], bool] | None = None,
+                 ignore_unknown: bool = False) -> tuple[Params, dict]:
     """Partial restore: load ``path``, optionally filter leaf paths with
     ``keep``, and merge into ``base`` (paths absent from the file keep their
-    ``base`` values; paths in the file but not in ``base`` raise). ``base``
-    may be an arbitrary pytree; the result has ``base``'s structure."""
+    ``base`` values; paths in the file but not in ``base`` raise unless
+    ``ignore_unknown``). ``base`` may be an arbitrary pytree; the result has
+    ``base``'s structure."""
     loaded, meta = load(path)
     flat = flatten_with_paths(loaded)
     if keep is not None:
         flat = {k: v for k, v in flat.items() if keep(k)}
     plain_base = to_plain(base)
+    if ignore_unknown:
+        known = set(flatten_with_paths(plain_base))
+        flat = {k: v for k, v in flat.items() if k in known}
     merged = merge_trees(plain_base, unflatten_paths(flat))
     return from_plain(base, merged), meta
 

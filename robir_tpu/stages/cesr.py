@@ -55,12 +55,13 @@ class CESRStageConfig:
     normal_switch_iter: int = 1000
     white_light: bool = False
     argmax_vis: bool = False
+    num_lights: int = 128  # set to envmap num_lgt_sgs (one-hot label size)
 
     @property
     def shadow_cfg(self) -> SDFConfig:
-        # SDFNetwork(PE + 128 one-hot, 2, 512, 8, [4], multires=0)
-        return SDFConfig(d_in=SHADOW_PE.out_dim + 128, d_out=2, d_hidden=512,
-                         n_layers=8, skip_in=(4,), multires=0)
+        # SDFNetwork(PE + one-hot, 2, 512, 8, [4], multires=0)
+        return SDFConfig(d_in=SHADOW_PE.out_dim + self.num_lights, d_out=2,
+                         d_hidden=512, n_layers=8, skip_in=(4,), multires=0)
 
     @property
     def normal_cfg(self) -> SDFConfig:
@@ -233,6 +234,10 @@ class CESRRunner(Stage2RunnerBase):
                  stage_cfg: CESRStageConfig = CESRStageConfig(),
                  log_dir: str | None = None, seed: int = 0):
         # fresh shadow/normal nets (train_cesr.py:106-110)
+        if stage_cfg.num_lights != cfg.envmap.num_lgt_sgs and \
+                type(stage_cfg) is CESRStageConfig:
+            stage_cfg = dataclasses.replace(
+                stage_cfg, num_lights=cfg.envmap.num_lgt_sgs)
         params = dict(params)
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 77))
         params["shadow_net"] = init_sdf(k1, stage_cfg.shadow_cfg)

@@ -1,0 +1,98 @@
+"""Relighting: swap the learned illumination for a prefit SG envmap and
+re-render.
+
+Parity: ``scripts/relight.py`` — load a trained stage-2 checkpoint, replace
+``lgtSGs`` via ``load_light`` (sg_128.npy + background .exr,
+``model/sg_envmap_material.py:257-268``), render relit views + albedo /
+roughness / normal maps through the full material pipeline in pixel chunks
+(``relit_with_light:33-117``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.syn_dataset import SynDataset
+from ..fields.envmap_material import load_light
+from ..render.color import as_input, hdr2ldr
+from ..render.sg import render_envmap
+from ..render.stage2 import Stage2Config, Stage2Model, stage2_forward
+from ..stages.pbr import pbr_sg_render
+from .plots import lin2img, tonemap, _save
+
+
+def relight_views(params: dict, cfg: Stage2Config, grid_values,
+                  dataset: SynDataset, envmap_path: str, out_dir: str,
+                  view_indices=None, chunk: int = 8000,
+                  key=None) -> list[dict]:
+    """Render relit frames for the given test views. Returns per-view output
+    dicts and writes PNGs (rgb / albedo / roughness / normal)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    params, envmap_img = _swap_light(params, envmap_path)
+    model = Stage2Model(params, cfg, grid_values)
+    os.makedirs(out_dir, exist_ok=True)
+
+    render_fn = jax.jit(functools.partial(_render_chunk, model=model, cfg=cfg))
+
+    results = []
+    view_indices = view_indices if view_indices is not None else range(dataset.n_cameras)
+    envmap_j = jnp.asarray(envmap_img)
+    for vi in view_indices:
+        dirs, cam_loc = dataset.camera_rays(vi)
+        n = dirs.shape[0]
+        outs = []
+        for i in range(0, n, chunk):
+            sl = slice(i, min(i + chunk, n))
+            d = dirs[sl]
+            pad = chunk - d.shape[0]
+            if pad:
+                d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
+            key, k = jax.random.split(key)
+            out = render_fn(jnp.asarray(d),
+                            jnp.broadcast_to(jnp.asarray(cam_loc), d.shape), k)
+            out = {kk: np.asarray(v)[:chunk - pad if pad else chunk]
+                   for kk, v in out.items()}
+            # background from the target envmap (forward:364-366)
+            bg = np.asarray(render_envmap(envmap_j, jnp.asarray(d)))[
+                :chunk - pad if pad else chunk]
+            m = out["mask"][:, None]
+            out["rgb"] = np.where(m, out["rgb"], np.clip(bg, 0, 1))
+            outs.append(out)
+        view = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+        res = dataset.img_res
+        _save(os.path.join(out_dir, f"rgb_{vi:03d}.png"),
+              tonemap(lin2img(view["rgb"], res)))
+        _save(os.path.join(out_dir, f"albedo_{vi:03d}.png"),
+              tonemap(lin2img(view["albedo"], res)))
+        _save(os.path.join(out_dir, f"roughness_{vi:03d}.png"),
+              lin2img(view["roughness"], res))
+        _save(os.path.join(out_dir, f"normal_{vi:03d}.png"),
+              lin2img(view["normal"] * 0.5 + 0.5, res))
+        results.append(view)
+    return results
+
+
+def _swap_light(params: dict, envmap_path: str):
+    env_params, envmap_img = load_light(params["envmap_material_network"],
+                                        envmap_path)
+    new_params = dict(params)
+    new_params["envmap_material_network"] = env_params
+    return new_params, envmap_img
+
+
+def _render_chunk(dirs, points, key, *, model: Stage2Model, cfg: Stage2Config):
+    n = dirs.shape[0]
+    hdr_shift = jnp.broadcast_to(as_input(model.params["gamma"]), (n, 1))
+    inp = {"points": points, "dirs": dirs, "hdr_shift": hdr_shift}
+    out = stage2_forward(model, key, inp, trainstage="Material",
+                         sg_render_fn=pbr_sg_render, train_spec=False)
+    pred = out["sg_rgb"] + out["indir_rgb"]
+    pred = hdr2ldr(model.params["gamma"], cfg.tonemap, pred)
+    return {"rgb": pred, "albedo": out["diffuse_albedo"],
+            "roughness": out["roughness"], "normal": out["normal_map"],
+            "mask": out["network_object_mask"]}

@@ -17,8 +17,9 @@ import jax.numpy as jnp
 from .mlp import Params
 from .radiance import (NeRFBgConfig, RenderingConfig, init_nerf_bg,
                        init_rendering, nerf_bg_apply, rendering_apply)
-from .sdf import (SDFConfig, init_sdf, sdf_and_feat, sdf_apply, sdf_gradient,
-                  sdf_value, sdf_value_and_gradient)
+from .sdf import (SDFConfig, init_sdf, sdf_and_feat, sdf_apply,
+                  sdf_full_and_gradient, sdf_gradient, sdf_value,
+                  sdf_value_and_gradient)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +85,10 @@ class NeuS:
 
     def full(self, x: jnp.ndarray) -> jnp.ndarray:
         return sdf_apply(self.params["sdf_network"], self.cfg.sdf, x)
+
+    def full_with_grad(self, x: jnp.ndarray):
+        """(sdf+features, sdf spatial gradient) sharing one forward."""
+        return sdf_full_and_gradient(self.params["sdf_network"], self.cfg.sdf, x)
 
     def color(self, x, gradients, dirs, feature) -> jnp.ndarray:
         return rendering_apply(self.params["color_network"], self.cfg.color,

@@ -165,9 +165,8 @@ def render_core(rays_o, rays_d, z_vals, sample_dist, model: NeuS,
     pts = (rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., :, None]).reshape(-1, 3)
     dirs = jnp.broadcast_to(rays_d[:, None, :], (batch_size, n_samples, 3)).reshape(-1, 3)
 
-    sdf_full = model.full(pts)
+    sdf_full, gradients = model.full_with_grad(pts)
     sdf, feature = sdf_full[..., :1], sdf_full[..., 1:]
-    gradients = model.grad(pts)
     sampled_color = model.color(pts, gradients, dirs, feature).reshape(
         batch_size, n_samples, 3)
 

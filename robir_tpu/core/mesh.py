@@ -57,3 +57,34 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host bring-up: call once per process before creating the mesh.
+
+    With all arguments None, jax auto-detects the TPU pod environment. After
+    this, ``jax.devices()`` spans every chip in the slice; ``create_mesh()``
+    lays one 'data' axis over all of them (ICI within a host, DCN across),
+    parameters stay replicated, and jit inserts the gradient psum — the
+    design SURVEY.md 5.8 calls for in place of the reference's dead
+    NCCL/SLURM helper (``utils/dist_util.py:14-74``).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """Each host loads only its shard of the global batch
+    (per-host data loading for multi-host training)."""
+    n_proc = jax.process_count()
+    per_host = global_batch // n_proc
+    i = jax.process_index()
+    return slice(i * per_host, (i + 1) * per_host)

@@ -450,3 +450,299 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// PIZ decompression (OpenEXR wavelet + Huffman), HALF channels
+// ---------------------------------------------------------------------------
+//
+// Implements the decode side of OpenEXR's PIZ codec so HDR assets compressed
+// with PIZ (e.g. relighting envmaps) load without the OpenEXR library:
+// bitmap -> reverse LUT, canonical Huffman decode, 2D wavelet decode
+// (14-bit and 16-bit variants), LUT apply. HALF channels only (size = 1).
+
+namespace piz {
+
+constexpr int USHORT_RANGE = 1 << 16;
+constexpr int BITMAP_SIZE = USHORT_RANGE >> 3;
+constexpr int HUF_ENCSIZE = USHORT_RANGE + 1;
+
+static int reverse_lut_from_bitmap(const uint8_t* bitmap, uint16_t* lut) {
+  int k = 0;
+  for (int i = 0; i < USHORT_RANGE; i++) {
+    if (i == 0 || (bitmap[i >> 3] & (1 << (i & 7)))) lut[k++] = (uint16_t)i;
+  }
+  int n = k - 1;
+  while (k < USHORT_RANGE) lut[k++] = 0;
+  return n;  // maxValue
+}
+
+struct BitReader {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t c = 0;
+  int lc = 0;
+  bool ok = true;
+
+  BitReader(const uint8_t* data, size_t n) : p(data), end(data + n) {}
+
+  inline int get_bits(int n) {
+    while (lc < n) {
+      if (p >= end) { ok = false; return 0; }
+      c = (c << 8) | *p++;
+      lc += 8;
+    }
+    lc -= n;
+    return (int)((c >> lc) & ((1u << n) - 1));
+  }
+};
+
+// canonical decode tables
+struct HufTable {
+  // per code length 1..58: first canonical code, count, symbol list offset
+  int64_t first_code[59];
+  int count[59];
+  int offset[59];
+  std::vector<int> symbols;  // grouped by length, in canonical order
+};
+
+static bool huf_build(const uint64_t* hcode, int im, int iM, HufTable& t) {
+  for (int l = 0; l < 59; l++) { t.count[l] = 0; }
+  for (int s = im; s <= iM; s++) {
+    int l = (int)(hcode[s] & 63);
+    if (l > 0) t.count[l]++;
+  }
+  int total = 0;
+  for (int l = 1; l < 59; l++) { t.offset[l] = total; total += t.count[l]; }
+  t.symbols.assign(total, 0);
+  std::vector<int> fill(59, 0);
+  std::vector<int64_t> mincode(59, -1);
+  for (int s = im; s <= iM; s++) {
+    int l = (int)(hcode[s] & 63);
+    if (l == 0) continue;
+    int64_t code = (int64_t)(hcode[s] >> 6);
+    if (mincode[l] < 0 || code < mincode[l]) mincode[l] = code;
+    t.symbols[t.offset[l] + fill[l]++] = s;
+  }
+  for (int l = 1; l < 59; l++) t.first_code[l] = mincode[l];
+  return true;
+}
+
+// Unpack the 6-bit-packed code-length table (ImfHuf hufUnpackEncTable).
+static bool huf_unpack_enc_table(BitReader& br, int im, int iM,
+                                 uint64_t* hcode) {
+  memset(hcode, 0, sizeof(uint64_t) * HUF_ENCSIZE);
+  for (int i = im; i <= iM; i++) {
+    int l = br.get_bits(6);
+    if (!br.ok) return false;
+    hcode[i] = l;
+    if (l == 63) {  // LONG_ZEROCODE_RUN
+      int zerun = br.get_bits(8) + 6;  // SHORTEST_LONG_RUN
+      if (i + zerun > iM + 1) return false;
+      while (zerun--) hcode[i++] = 0;
+      i--;
+    } else if (l >= 59) {  // SHORT_ZEROCODE_RUN
+      int zerun = l - 59 + 2;
+      if (i + zerun > iM + 1) return false;
+      while (zerun--) hcode[i++] = 0;
+      i--;
+    }
+  }
+  // canonical code assignment (hufCanonicalCodeTable)
+  int64_t n[59];
+  for (int i = 0; i < 59; i++) n[i] = 0;
+  for (int i = 0; i < HUF_ENCSIZE; i++) n[hcode[i]] += 1;
+  int64_t c = 0;
+  for (int i = 58; i > 0; --i) {
+    int64_t nc = (c + n[i]) >> 1;
+    n[i] = c;
+    c = nc;
+  }
+  for (int i = 0; i < HUF_ENCSIZE; i++) {
+    int l = (int)hcode[i];
+    if (l > 0) hcode[i] = (uint64_t)l | ((uint64_t)(n[l]++) << 6);
+  }
+  return true;
+}
+
+static bool huf_decode(BitReader& br, const HufTable& t, int rlc,
+                       uint64_t n_bits, uint16_t* out, size_t n_out) {
+  size_t wrote = 0;
+  int64_t code = 0;
+  int len = 0;
+  uint64_t read_bits = 0;
+  while (read_bits < n_bits && wrote < n_out) {
+    code = (code << 1) | br.get_bits(1);
+    read_bits++;
+    if (!br.ok) return false;
+    len++;
+    if (len > 58) return false;
+    if (t.count[len] > 0 && t.first_code[len] >= 0 &&
+        code >= t.first_code[len] &&
+        code - t.first_code[len] < t.count[len]) {
+      int sym = t.symbols[t.offset[len] + (int)(code - t.first_code[len])];
+      if (sym == rlc) {
+        int run = br.get_bits(8);
+        read_bits += 8;
+        if (!br.ok || wrote == 0 || wrote + run > n_out) return false;
+        uint16_t prev = out[wrote - 1];
+        while (run--) out[wrote++] = prev;
+      } else {
+        out[wrote++] = (uint16_t)sym;
+      }
+      code = 0;
+      len = 0;
+    }
+  }
+  return wrote == n_out;
+}
+
+// 2D wavelet decode (ImfWav wav2Decode)
+static inline void wdec14(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  int16_t ls = (int16_t)l;
+  int16_t hs = (int16_t)h;
+  int hi = hs;
+  int ai = ls + (hi & 1) + (hi >> 1);
+  int16_t as = (int16_t)ai;
+  int16_t bs = (int16_t)(ai - hi);
+  a = (uint16_t)as;
+  b = (uint16_t)bs;
+}
+
+constexpr int NBITS = 16;
+constexpr int A_OFFSET = 1 << (NBITS - 1);
+constexpr int MOD_MASK = (1 << NBITS) - 1;
+
+static inline void wdec16(uint16_t l, uint16_t h, uint16_t& a, uint16_t& b) {
+  int m = l;
+  int d = h;
+  int bb = (m - (d >> 1)) & MOD_MASK;
+  int aa = (d + bb - A_OFFSET) & MOD_MASK;
+  b = (uint16_t)bb;
+  a = (uint16_t)aa;
+}
+
+static void wav2_decode(uint16_t* in, int nx, int ox, int ny, int oy,
+                        uint16_t mx) {
+  bool w14 = (mx < (1 << 14));
+  int n = (nx > ny) ? ny : nx;
+  int p = 1;
+  int p2;
+  while (p <= n) p <<= 1;
+  p >>= 1;
+  p2 = p;
+  p >>= 1;
+  while (p >= 1) {
+    uint16_t* py = in;
+    uint16_t* ey = in + oy * (ny - p2);
+    int oy1 = oy * p;
+    int oy2 = oy * p2;
+    int ox1 = ox * p;
+    int ox2 = ox * p2;
+    uint16_t i00, i01, i10, i11;
+    for (; py <= ey; py += oy2) {
+      uint16_t* px = py;
+      uint16_t* ex = py + ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t* p10 = px + oy1;
+        uint16_t* p11 = p10 + ox1;
+        if (w14) {
+          wdec14(*px, *p10, i00, i10);
+          wdec14(*p01, *p11, i01, i11);
+          wdec14(i00, i01, *px, *p01);
+          wdec14(i10, i11, *p10, *p11);
+        } else {
+          wdec16(*px, *p10, i00, i10);
+          wdec16(*p01, *p11, i01, i11);
+          wdec16(i00, i01, *px, *p01);
+          wdec16(i10, i11, *p10, *p11);
+        }
+      }
+      if (nx & p) {
+        uint16_t* p10 = px + oy1;
+        if (w14)
+          wdec14(*px, *p10, i00, *p10);
+        else
+          wdec16(*px, *p10, i00, *p10);
+        *px = i00;
+      }
+    }
+    if (ny & p) {
+      uint16_t* px = py;
+      uint16_t* ex = py + ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        if (w14)
+          wdec14(*px, *p01, i00, *p01);
+        else
+          wdec16(*px, *p01, i00, *p01);
+        *px = i00;
+      }
+    }
+    p2 = p;
+    p >>= 1;
+  }
+}
+
+}  // namespace piz
+
+// src: one PIZ chunk payload. out: planar u16, channel-major
+// [n_channels][rows][width]. Returns 0 on success.
+extern "C" int piz_uncompress(const uint8_t* src, int64_t src_len, int n_channels,
+                   int width, int rows, uint16_t* out) {
+  using namespace piz;
+  if (src_len < 4) return -1;
+  const uint8_t* p = src;
+  const uint8_t* end = src + src_len;
+
+  uint16_t min_nz, max_nz;
+  memcpy(&min_nz, p, 2);
+  memcpy(&max_nz, p + 2, 2);
+  p += 4;
+
+  std::vector<uint8_t> bitmap(BITMAP_SIZE, 0);
+  if (min_nz <= max_nz) {
+    int nb = max_nz - min_nz + 1;
+    if (p + nb > end) return -2;
+    memcpy(bitmap.data() + min_nz, p, nb);
+    p += nb;
+  }
+  std::vector<uint16_t> lut(USHORT_RANGE);
+  int max_value = reverse_lut_from_bitmap(bitmap.data(), lut.data());
+
+  if (p + 4 > end) return -3;
+  int32_t huf_len;
+  memcpy(&huf_len, p, 4);
+  p += 4;
+  if (p + huf_len > end) return -4;
+
+  // hufUncompress: header im, iM, tableLength, nBits, room
+  if (huf_len < 20) return -5;
+  uint32_t im, iM, n_bits;
+  memcpy(&im, p, 4);
+  memcpy(&iM, p + 4, 4);
+  memcpy(&n_bits, p + 12, 4);
+  if (im >= HUF_ENCSIZE || iM >= HUF_ENCSIZE) return -6;
+
+  BitReader table_br(p + 20, huf_len - 20);
+  std::vector<uint64_t> hcode(HUF_ENCSIZE);
+  if (!huf_unpack_enc_table(table_br, (int)im, (int)iM, hcode.data()))
+    return -7;
+
+  // bitstream starts at the next byte boundary after the table
+  size_t table_bytes = (size_t)(table_br.p - (p + 20)) - (table_br.lc >> 3);
+  BitReader data_br(p + 20 + table_bytes, huf_len - 20 - table_bytes);
+
+  HufTable table;
+  huf_build(hcode.data(), (int)im, (int)iM, table);
+
+  size_t n_out = (size_t)n_channels * rows * width;
+  if (!huf_decode(data_br, table, (int)iM, n_bits, out, n_out)) return -8;
+
+  for (int ch = 0; ch < n_channels; ch++) {
+    wav2_decode(out + (size_t)ch * rows * width, width, 1, rows, width,
+                (uint16_t)max_value);
+  }
+  for (size_t i = 0; i < n_out; i++) out[i] = lut[out[i]];
+  return 0;
+}

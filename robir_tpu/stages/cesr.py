@@ -232,7 +232,7 @@ class CESRRunner(Stage2RunnerBase):
 
     def __init__(self, cfg: Stage2Config, params: dict, dataset: SynDataset,
                  stage_cfg: CESRStageConfig = CESRStageConfig(),
-                 log_dir: str | None = None, seed: int = 0):
+                 log_dir: str | None = None, seed: int = 0, mesh=None):
         # fresh shadow/normal nets (train_cesr.py:106-110)
         if stage_cfg.num_lights != cfg.envmap.num_lgt_sgs and \
                 type(stage_cfg) is CESRStageConfig:
@@ -242,7 +242,7 @@ class CESRRunner(Stage2RunnerBase):
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 77))
         params["shadow_net"] = init_sdf(k1, stage_cfg.shadow_cfg)
         params["normal_net"] = init_sdf(k2, stage_cfg.normal_cfg)
-        super().__init__(cfg, params, log_dir, seed)
+        super().__init__(cfg, params, log_dir, seed, mesh=mesh)
         self.stage_cfg = stage_cfg
         self.dataset = dataset
         self.optimizer = make_adam(stage_cfg.opt)
@@ -265,9 +265,9 @@ class CESRRunner(Stage2RunnerBase):
     def _batch(self):
         idx = int(self.rng.integers(self.dataset.n_cameras))
         b = self.dataset.sample_pixels(self.rng, idx, self.stage_cfg.num_pixels)
-        return {"points": jnp.asarray(b["points"]), "dirs": jnp.asarray(b["dirs"]),
-                "object_mask": jnp.asarray(b["object_mask"]),
-                "rgb": jnp.asarray(b["rgb"])}
+        return self.shard_batch({"points": b["points"], "dirs": b["dirs"],
+                                 "object_mask": b["object_mask"],
+                                 "rgb": b["rgb"]})
 
     def run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
         sc = self.stage_cfg

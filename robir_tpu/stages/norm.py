@@ -78,8 +78,8 @@ class NormRunner(Stage2RunnerBase):
     def __init__(self, cfg: Stage2Config, params: dict,
                  tex_space_sampler: TexSpaceSampler,
                  stage_cfg: NormStageConfig = NormStageConfig(),
-                 log_dir: str | None = None, seed: int = 0):
-        super().__init__(cfg, params, log_dir, seed)
+                 log_dir: str | None = None, seed: int = 0, mesh=None):
+        super().__init__(cfg, params, log_dir, seed, mesh=mesh)
         self.stage_cfg = stage_cfg
         self.sampler = tex_space_sampler
         self.optimizer = make_adam(stage_cfg.opt)
@@ -89,7 +89,7 @@ class NormRunner(Stage2RunnerBase):
 
     def _batch(self):
         b = self.sampler.simple_data_batch(self.rng, self.stage_cfg.num_pixels)
-        return {k: jnp.asarray(v) for k, v in b.items()}
+        return self.shard_batch(b)
 
     def run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
         metrics = {}

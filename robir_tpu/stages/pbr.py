@@ -148,8 +148,8 @@ class PBRRunner(Stage2RunnerBase):
 
     def __init__(self, cfg: Stage2Config, params: dict, dataset: SynDataset,
                  stage_cfg: PBRStageConfig = PBRStageConfig(),
-                 log_dir: str | None = None, seed: int = 0):
-        super().__init__(cfg, params, log_dir, seed)
+                 log_dir: str | None = None, seed: int = 0, mesh=None):
+        super().__init__(cfg, params, log_dir, seed, mesh=mesh)
         self.stage_cfg = stage_cfg
         self.dataset = dataset
         self.optimizer = make_adam(stage_cfg.opt)
@@ -177,9 +177,9 @@ class PBRRunner(Stage2RunnerBase):
     def _batch(self):
         idx = int(self.rng.integers(self.dataset.n_cameras))
         b = self.dataset.sample_pixels(self.rng, idx, self.stage_cfg.num_pixels)
-        return {"points": jnp.asarray(b["points"]), "dirs": jnp.asarray(b["dirs"]),
-                "object_mask": jnp.asarray(b["object_mask"]),
-                "rgb": jnp.asarray(b["rgb"])}
+        return self.shard_batch({"points": b["points"], "dirs": b["dirs"],
+                                 "object_mask": b["object_mask"],
+                                 "rgb": b["rgb"]})
 
     def run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
         metrics = {}

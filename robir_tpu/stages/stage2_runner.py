@@ -81,12 +81,19 @@ def join_params(trainable: dict, frozen: dict) -> dict:
 
 
 class Stage2RunnerBase:
-    """Host-side loop: data, checkpoints, jitted steps, grid baking."""
+    """Host-side loop: data, checkpoints, jitted steps, grid baking.
+
+    With a ``mesh``, pixel batches are sharded over the 'data' axis and
+    parameters/optimizer state are replicated — jit then runs each stage
+    data-parallel with gradient psums over ICI. The Vis-stage secondary-ray
+    fan ([pixels, nsamp] tensors) shards on the pixel axis, which also
+    distributes its memory footprint (SURVEY.md 7.3).
+    """
 
     stage_name = "Base"
 
     def __init__(self, cfg: Stage2Config, params: dict, log_dir: str | None = None,
-                 seed: int = 0):
+                 seed: int = 0, mesh=None):
         self.cfg = cfg
         self.params = params
         self.log_dir = log_dir
@@ -94,6 +101,24 @@ class Stage2RunnerBase:
         self.rng = np.random.default_rng(seed)
         self.cur_iter = 0
         self.grid_values = None
+        self.mesh = mesh
+        if mesh is not None:
+            from ..core.mesh import replicated
+            self.params = jax.device_put(self.params, replicated(mesh))
+
+    def shard_batch(self, batch: dict) -> dict:
+        """Leading axis over 'data' when a mesh is present."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from ..core.mesh import batch_sharding
+        sh = batch_sharding(self.mesh)
+        return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
+
+    def place_replicated(self, tree):
+        if self.mesh is None:
+            return tree
+        from ..core.mesh import replicated
+        return jax.device_put(tree, replicated(self.mesh))
 
     # -- tracer -------------------------------------------------------------
 
@@ -101,7 +126,8 @@ class Stage2RunnerBase:
         """Bake the cached-SDF grid from the frozen NeuS (the reference's
         ``ray_tracer.generate``)."""
         model = Stage2Model(self.params, self.cfg)
-        self.grid_values = build_sdf_grid(model.sdf, self.cfg.grid)
+        self.grid_values = self.place_replicated(
+            build_sdf_grid(model.sdf, self.cfg.grid))
 
     def model(self) -> Stage2Model:
         return Stage2Model(self.params, self.cfg, self.grid_values)

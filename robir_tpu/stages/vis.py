@@ -95,8 +95,8 @@ class VisRunner(Stage2RunnerBase):
 
     def __init__(self, cfg: Stage2Config, params: dict, dataset: SynDataset,
                  stage_cfg: VisStageConfig = VisStageConfig(),
-                 log_dir: str | None = None, seed: int = 0):
-        super().__init__(cfg, params, log_dir, seed)
+                 log_dir: str | None = None, seed: int = 0, mesh=None):
+        super().__init__(cfg, params, log_dir, seed, mesh=mesh)
         self.stage_cfg = stage_cfg
         self.dataset = dataset
         self.vis_opt = make_adam(stage_cfg.opt)
@@ -125,9 +125,9 @@ class VisRunner(Stage2RunnerBase):
         b = self.dataset.sample_pixels(self.rng, idx, self.stage_cfg.num_pixels)
         n = b["dirs"].shape[0]
         hdr_shift = self.rng.random((n, 1)).astype(np.float32)  # :297
-        return {"points": jnp.asarray(b["points"]), "dirs": jnp.asarray(b["dirs"]),
-                "object_mask": jnp.asarray(b["object_mask"]),
-                "hdr_shift": jnp.asarray(hdr_shift)}
+        return self.shard_batch({"points": b["points"], "dirs": b["dirs"],
+                                 "object_mask": b["object_mask"],
+                                 "hdr_shift": hdr_shift})
 
     def run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
         metrics = {}

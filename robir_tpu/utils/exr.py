@@ -25,8 +25,8 @@ import numpy as np
 _MAGIC = 20000630
 _PT_UINT, _PT_HALF, _PT_FLOAT = 0, 1, 2
 _PT_DTYPE = {_PT_UINT: np.dtype("<u4"), _PT_HALF: np.dtype("<f2"), _PT_FLOAT: np.dtype("<f4")}
-_NO_COMPRESSION, _RLE, _ZIPS, _ZIP = 0, 1, 2, 3
-_LINES_PER_CHUNK = {_NO_COMPRESSION: 1, _ZIPS: 1, _ZIP: 16}
+_NO_COMPRESSION, _RLE, _ZIPS, _ZIP, _PIZ = 0, 1, 2, 3, 4
+_LINES_PER_CHUNK = {_NO_COMPRESSION: 1, _ZIPS: 1, _ZIP: 16, _PIZ: 32}
 
 
 def _read_cstr(buf: bytes, off: int) -> tuple[str, int]:
@@ -77,6 +77,32 @@ def _predictor_encode(data: bytes) -> bytes:
     return (d & 0xFF).astype(np.uint8).tobytes()
 
 
+def _piz_uncompress(data: bytes, n_channels: int, width: int,
+                    rows: int) -> np.ndarray:
+    """Decode one PIZ chunk via the native decoder -> u16 planar
+    [n_channels, rows, width] (HALF bit patterns)."""
+    import ctypes
+
+    from ..texture.native import _load
+
+    lib = _load()
+    if not hasattr(lib.piz_uncompress, "_configured"):
+        lib.piz_uncompress.restype = ctypes.c_int
+        lib.piz_uncompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint16)]
+        lib.piz_uncompress._configured = True
+    src = np.frombuffer(data, np.uint8)
+    out = np.zeros((n_channels, rows, width), np.uint16)
+    rc = lib.piz_uncompress(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(src),
+        n_channels, width, rows,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    if rc != 0:
+        raise ValueError(f"PIZ decode failed rc={rc}")
+    return out
+
+
 def read_exr(path: str) -> np.ndarray:
     """Read an EXR image as float32 [H, W, C]. Channels ordered R, G, B(, A)
     when present, otherwise alphabetically."""
@@ -118,10 +144,18 @@ def read_exr(path: str) -> np.ndarray:
         data = buf[ofs + 8: ofs + 8 + packed]
         rows = min(lines_per_chunk, y1 - y + 1)
         raw_size = per_line * rows
+        row0 = y - y0
+        if compression == _PIZ:
+            if any(pt != _PT_HALF for _, pt in chans):
+                raise NotImplementedError("PIZ with non-HALF channels")
+            planar = _piz_uncompress(data, len(chans), W, rows)
+            for ci, (name, _pt) in enumerate(chans):
+                halves = planar[ci].view("<f2")
+                out[name][row0:row0 + rows] = halves.astype(np.float32)
+            continue
         if compression in (_ZIP, _ZIPS) and packed < raw_size:
             data = zlib.decompress(data)
             data = _predictor_decode(bytearray(data))
-        row0 = y - y0
         pos = 0
         for r in range(rows):
             for name, pt in chans:

@@ -30,3 +30,26 @@ def test_read_reference_envmap():
     # sane HDR radiance values
     assert 0.0 <= img.min() and img.max() <= 100.0
     assert 0.1 < img.mean() < 10.0
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference assets not mounted")
+def test_piz_decode_against_preview_oracle():
+    """envmap6.exr is PIZ-compressed; the repo ships a tonemapped preview
+    PNG of the same data (top half of envmap6/log_im_128.png) rendered by
+    the reference itself — an independent decode oracle."""
+    import cv2
+    from PIL import Image
+    img = read_exr("/root/reference/envmaps/envmap6.exr")
+    assert img.shape == (512, 1024, 4)
+    small = cv2.resize(img[..., :3], (512, 256), interpolation=cv2.INTER_AREA)
+    tone = np.clip(np.power(np.clip(small, 0, None), 1 / 2.2), 0, 1)
+    png = np.asarray(Image.open(
+        "/root/reference/envmaps/envmap6/log_im_128.png"), dtype=np.float32) / 255
+    assert np.abs(tone - png[:256, :, :3]).mean() < 0.02
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference assets not mounted")
+def test_piz_decode_envmap12():
+    img = read_exr("/root/reference/envmaps/envmap12.exr")
+    assert img.shape == (512, 1024, 3)
+    assert img.min() >= 0 and 0.01 < img.mean() < 10

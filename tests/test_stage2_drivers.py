@@ -160,3 +160,20 @@ def test_full_stage2_pipeline(setup, tmp_path):
     assert "rgb_loss" in c  # past warmup, full loss active
     # dropout mask was resampled at least once (iter 7, 14)
     assert float(jnp.sum(cesr.spec_var)) >= 0
+
+
+def test_pbr_runner_on_mesh(setup):
+    """Sharded stage-2: the PBR step runs data-parallel over an 8-device
+    mesh (batch sharded on 'data', params replicated)."""
+    from robir_tpu.core.mesh import MeshConfig, create_mesh
+    dataset, cfg, params, mesh_path = setup
+    mesh = create_mesh(MeshConfig())
+    pbr = PBRRunner(cfg, params, dataset,
+                    PBRStageConfig(num_pixels=64, opt=SMALL_OPT), mesh=mesh)
+    pbr.bake_grid()
+    b = pbr._batch()
+    assert len(b["points"].addressable_shards) == 8
+    m0 = pbr.run(2, log_every=1)
+    m1 = pbr.run(30, log_every=1)
+    assert np.isfinite(m1["loss"])
+    assert m1["rgb_loss"] < m0["rgb_loss"] * 1.5  # trains without blowup

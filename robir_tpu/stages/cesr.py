@@ -294,3 +294,33 @@ class CESRRunner(Stage2RunnerBase):
         if not metrics:
             metrics = {k: float(v) for k, v in m.items()}
         return metrics
+
+
+def cesr_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = None,
+                      chunk: int = 8000):
+    """Render the CESR grid for one view (train_cesr.py plot_to_disk ->
+    utils/plots.py plot_cesr)."""
+    import functools
+    import os
+
+    from ..tools import plots
+    from .stage2_runner import render_view
+    from ..render.stage2 import Stage2Model
+
+    sc = runner.stage_cfg
+    model_params = {k: v for k, v in runner.params.items()
+                    if k not in ("shadow_net", "normal_net")}
+    model = Stage2Model(model_params, runner.cfg, runner.grid_values)
+    render = functools.partial(
+        cesr_sg_render, shadow_params=runner.params["shadow_net"],
+        normal_params=runner.params["normal_net"], stage_cfg=sc,
+        prefit=sc.prefit_option(runner.cur_iter),
+        use_new_normal=runner.cur_iter > sc.normal_switch_iter,
+        spec_var=runner.spec_var)
+    out = render_view(model, dataset, idx, sg_render_fn=render,
+                      key=runner.next_key(), chunk=chunk)
+    plots_dir = plots_dir or os.path.join(runner.log_dir or ".",
+                                          runner.stage_name, "plots")
+    gt = dataset.rgb_images[idx]
+    return plots.plot_cesr(out, gt, plots_dir, runner.cur_iter,
+                           dataset.img_res, idx)

@@ -281,6 +281,31 @@ class NeusTrainer:
                 "dist": img["dist"].reshape(h, w),
                 "mse": mse, "psnr": -10.0 / np.log(10.0) * np.log(mse)}
 
+    def test(self, test_scene: BlenderScene, n_frames: int | None = None,
+             logger=None) -> dict:
+        """Reference eval protocol (neus/optimization/trainer.py:86-108):
+        render the test views, report mean PSNR/MSE + wall-clock render
+        time, and log a video."""
+        n_frames = min(n_frames or test_scene.n_images, test_scene.n_images)
+        frames, psnrs, mses = [], [], []
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            out = self.render_image(i, scene=test_scene)
+            frames.append(out["rgb"])
+            psnrs.append(out["psnr"])
+            mses.append(out["mse"])
+        render_time = time.perf_counter() - t0
+        rays_per_sec = n_frames * test_scene.h * test_scene.w / render_time
+        metrics = {"mean_psnr": float(np.mean(psnrs)),
+                   "mean_mse": float(np.mean(mses)),
+                   "render_time": render_time,
+                   "rays_per_sec": rays_per_sec}
+        if logger is not None:
+            logger.log_video("test_frames", frames)
+            logger.log_json(**metrics)
+            logger.log_rays_per_sec(self.step, rays_per_sec)
+        return metrics
+
     # -- checkpointing ------------------------------------------------------
 
     def save(self) -> str:

@@ -197,3 +197,26 @@ class PBRRunner(Stage2RunnerBase):
         if not metrics:
             metrics = {k: float(v) for k, v in m.items()}
         return metrics
+
+
+def pbr_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = None,
+                     chunk: int = 8000):
+    """Render the PBR decomposition grid for one view
+    (train_pbr.py plot_to_disk -> utils/plots.py plot_mat)."""
+    import functools
+    import os
+
+    from ..tools import plots
+    from .stage2_runner import render_view
+
+    model = runner.model()
+    out = render_view(
+        model, dataset, idx,
+        sg_render_fn=functools.partial(
+            pbr_sg_render, use_normal_map=runner.stage_cfg.use_normal_map),
+        key=runner.next_key(), chunk=chunk)
+    plots_dir = plots_dir or os.path.join(runner.log_dir or ".",
+                                          runner.stage_name, "plots")
+    gt = dataset.rgb_images[idx]
+    return plots.plot_mat(out, gt, plots_dir, runner.cur_iter,
+                          dataset.img_res, idx)

@@ -161,3 +161,62 @@ class Stage2RunnerBase:
         self.params, meta = ckpt_lib.restore_into(self.params, path)
         self.cur_iter = meta.get("step", 0)
         return True
+
+
+def render_view(model: Stage2Model, dataset, idx: int, sg_render_fn=None,
+                key=None, chunk: int = 8000, train_spec: bool = False,
+                lin_diff: bool = False, **sg_kwargs) -> dict:
+    """Chunked whole-image stage-2 eval render (the reference's
+    plot-time ``split_input`` loop, utils/general.py:27-69 +
+    train_pbr.py:240-276). Returns flat [H*W, .] buffers including the
+    hdr2ldr'd ``pred_rgb``."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..render.color import as_input, hdr2ldr
+    from ..render.stage2 import stage2_forward
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dirs, cam_loc = dataset.camera_rays(idx)
+    n = dirs.shape[0]
+
+    @jax.jit
+    def render_chunk(d, o, k):
+        hdr_shift = jnp.broadcast_to(as_input(model.params["gamma"]),
+                                     (d.shape[0], 1))
+        inp = {"points": o, "dirs": d, "hdr_shift": hdr_shift}
+        out = stage2_forward(model, k, inp, trainstage="Material",
+                             sg_render_fn=sg_render_fn,
+                             train_spec=train_spec, lin_diff=lin_diff,
+                             **sg_kwargs)
+        pred = hdr2ldr(model.params["gamma"], model.cfg.tonemap,
+                       out["sg_rgb"] + out["indir_rgb"])
+        mask = out["network_object_mask"]
+        return {
+            "pred_rgb": jnp.where(mask[:, None], pred, 1.0),
+            "sg_rgb": out["sg_rgb"],
+            "indir_rgb": out["indir_rgb"],
+            "sg_specular_rgb": out["sg_specular_rgb"],
+            "diffuse_albedo": out["diffuse_albedo"],
+            "roughness": jnp.broadcast_to(out["roughness"], pred.shape),
+            "normal_map": out["normal_map"],
+            "normals": out["normals"],
+            "vis_shadow": out["vis_shadow"],
+            "mask": mask,
+        }
+
+    outs = []
+    for i in range(0, n, chunk):
+        d = dirs[i:i + chunk]
+        pad = chunk - d.shape[0]
+        if pad:
+            d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
+        o = np.broadcast_to(cam_loc, d.shape).copy()
+        key, k = jax.random.split(key)
+        out = render_chunk(jnp.asarray(d), jnp.asarray(o), k)
+        cut = chunk - pad if pad else chunk
+        outs.append({kk: np.asarray(v)[:cut] for kk, v in out.items()})
+    return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}

@@ -36,3 +36,21 @@ def test_logger_mesh(tmp_path):
 def test_local_batch_slice_single_process():
     s = local_batch_slice(64)
     assert s == slice(0, 64)
+
+
+def test_time_scanned():
+    import jax.numpy as jnp
+    from robir_tpu.tools.profiler import time_scanned
+    dt = time_scanned(lambda c: c * 0.999 + 1e-4, jnp.ones((64, 64)),
+                      n_steps=5, reps=2)
+    assert 0 < dt < 1.0
+
+
+def test_mutual_info_metric():
+    """Correlated edge maps show higher MI than independent ones."""
+    from robir_tpu.tools.tex_extract import mutual_information
+    rng = np.random.default_rng(0)
+    base = rng.random((64, 64, 3)).astype(np.float32)
+    mi_same = mutual_information(base, base * 0.5 + 0.2)
+    mi_indep = mutual_information(base, rng.random((64, 64, 3)).astype(np.float32))
+    assert mi_same > mi_indep

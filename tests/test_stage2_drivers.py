@@ -177,3 +177,22 @@ def test_pbr_runner_on_mesh(setup):
     m1 = pbr.run(30, log_every=1)
     assert np.isfinite(m1["loss"])
     assert m1["rgb_loss"] < m0["rgb_loss"] * 1.5  # trains without blowup
+
+
+def test_pbr_plot_to_disk(setup, tmp_path):
+    """Whole-image chunked eval render + decomposition plot grid."""
+    from robir_tpu.stages.pbr import pbr_plot_to_disk
+    dataset, cfg, params, mesh_path = setup
+    pbr = PBRRunner(cfg, params, dataset,
+                    PBRStageConfig(num_pixels=64, opt=SMALL_OPT),
+                    log_dir=str(tmp_path))
+    pbr.bake_grid()
+    pbr.run(2)
+    path = pbr_plot_to_disk(pbr, dataset, idx=0, chunk=512)
+    import os
+    assert os.path.exists(path)
+    from PIL import Image
+    img = np.asarray(Image.open(path))
+    h, w = dataset.img_res
+    assert img.shape == (2 * h, 3 * w, 3)  # 6-panel grid
+    assert img.std() > 1.0  # not a constant image

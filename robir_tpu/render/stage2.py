@@ -361,3 +361,30 @@ def trace_radiance(model: Stage2Model, key: jax.Array, forward_out: dict,
     return {"trace_radiance": radiance, "sample_dirs": sample_dirs,
             "gt_vis": gt_vis, "pred_vis": pred_vis, "indir_mask": indir_mask,
             "gt_integral": gt_integral}
+
+
+def neus_bridge_render(model: Stage2Model, rays, render_cfg=None,
+                       key=None) -> dict:
+    """Render the frozen stage-1 NeuS through the stage-2 model in stage-2
+    coordinates — the ``wrap_renderer`` debugging/relighting adapter
+    (``model/sdf_render.py:377-426``). Rays are in stage-2 coords; the
+    bridge doubles them into stage-1 space (t values scale back by 1/2).
+    """
+    from .neus import NeusRenderConfig, Rays as NeusRays, render_neus
+
+    render_cfg = render_cfg or NeusRenderConfig(n_samples=64, n_importance=64,
+                                                n_outside=0)
+    s = model.cfg.coord_scale
+    scaled = NeusRays(rays.origins * s, rays.directions, rays.viewdirs,
+                      rays.radii, rays.lossmult, rays.near * s, rays.far * s)
+    out = render_neus(key, scaled, model.neus, 1.0, render_cfg,
+                      is_eval=key is None)
+    rgb = jnp.flip(out["rgb"], -1) if model.cfg.bgr else out["rgb"]
+    return {
+        "idr_rgb": rgb,
+        "sg_rgb": rgb,          # output-dict shape parity with the SG path
+        "indir_rgb": jnp.zeros_like(rgb),
+        "acc": out["acc"],
+        "dist": out["dist"] / s,
+        "network_object_mask": out["acc"] > 0.5,
+    }

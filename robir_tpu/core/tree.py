@@ -108,3 +108,18 @@ def from_plain(exemplar: Any, plain: Any) -> Any:
     if exemplar is None:
         return None
     return jnp.asarray(plain)
+
+
+def tangent_space(n: "jnp.ndarray"):
+    """Orthonormal tangent frame per normal (reference
+    ``utils/utils.py:20-38``): rotate n 90 degrees about x, cross twice,
+    normalize with 1e-4 clamps. n: [..., 3] -> (b, c) each [..., 3]."""
+    rot = jnp.asarray([[1.0, 0.0, 0.0],
+                       [0.0, 0.0, -1.0],
+                       [0.0, 1.0, 0.0]], dtype=n.dtype)
+    a = jnp.einsum("ij,...j->...i", rot, n)
+    b = jnp.cross(a, n)
+    c = jnp.cross(b, n)
+    b = b / jnp.clip(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-4, None)
+    c = c / jnp.clip(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-4, None)
+    return b, c

@@ -87,3 +87,40 @@ def hashgrid_encode(params: Params, cfg: HashGridConfig,
             for d in range(3)], -1).prod(-1)  # [N, 8]
         feats.append(jnp.sum(vals * w[..., None], axis=1))
     return jnp.concatenate(feats, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashSDFConfig:
+    """Hash-encoded SDF field: the reference's (dead) tinycudann fast path
+    (``neus/model/neus_fields.py`` HashSDFNetwork) as a live TPU-native
+    capability — hash features + a small fused-width MLP head."""
+
+    grid: HashGridConfig = HashGridConfig()
+    d_out: int = 257
+    width: int = 128
+    depth: int = 4
+
+
+def init_hash_sdf(key: jax.Array, cfg: HashSDFConfig) -> Params:
+    from .mlp import init_linear
+
+    k0, key = jax.random.split(key)
+    params = {"hash": init_hashgrid(k0, cfg.grid)}
+    dims = (cfg.grid.out_dim,) + (cfg.width,) * cfg.depth + (cfg.d_out,)
+    keys = jax.random.split(key, len(dims) - 1)
+    params["mlp"] = {f"lin{i}": init_linear(keys[i], dims[i], dims[i + 1])
+                     for i in range(len(dims) - 1)}
+    return params
+
+
+def hash_sdf_apply(params: Params, cfg: HashSDFConfig,
+                   x: jnp.ndarray) -> jnp.ndarray:
+    from .mlp import apply_linear
+
+    h = hashgrid_encode(params["hash"], cfg.grid, x)
+    n = cfg.depth + 1
+    for i in range(n):
+        h = apply_linear(params["mlp"][f"lin{i}"], h)
+        if i < n - 1:
+            h = jax.nn.relu(h)
+    return h

@@ -48,6 +48,8 @@ class NeusTrainConfig:
     batch_size: int = 512
     eikonal_weight: float = 0.1
     silhouette_weight: float = 1.0
+    sparsity_weight: float = 0.0    # Cauchy-log weight sparsity (regular.py:18-22)
+    similarity_weight: float = 0.0  # (sim - 1)^2 (regular.py:25-29)
     eval_chunk: int = 1024
     ckpt_every: int = 50_000
     grad_max_norm: float = 0.0
@@ -80,8 +82,18 @@ def neus_loss(out: dict, mask: jnp.ndarray, pixels: jnp.ndarray,
     eikonal = out["gradient_error"] * cfg.eikonal_weight
     silhouette = jnp.mean((out["acc"] - mask[..., 0]) ** 2) * cfg.silhouette_weight
     loss = mse + eikonal + silhouette
-    return loss, {"loss": loss, "mse": mse, "psnr": mse_to_psnr(mse),
-                  "eikonal": eikonal, "silhouette": silhouette}
+    metrics = {"mse": mse, "psnr": mse_to_psnr(mse),
+               "eikonal": eikonal, "silhouette": silhouette}
+    if cfg.sparsity_weight > 0:  # Cauchy-log weight sparsity (regular.py:18-22)
+        sparsity = jnp.mean(jnp.sum(jnp.log(1 + 2 * out["weights"] ** 2), -1))
+        loss = loss + sparsity * cfg.sparsity_weight
+        metrics["sparsity"] = sparsity
+    if cfg.similarity_weight > 0 and "similarity" in out:
+        sim = jnp.mean(jnp.sum((out["similarity"] - 1) ** 2, -1))
+        loss = loss + sim * cfg.similarity_weight
+        metrics["similarity"] = sim
+    metrics["loss"] = loss
+    return loss, metrics
 
 
 def make_train_step(model_cfg: NeuSConfig, render_cfg: NeusRenderConfig,

@@ -107,3 +107,90 @@ class NormRunner(Stage2RunnerBase):
         if not metrics:
             metrics = {k: float(v) for k, v in m.items()}
         return metrics
+
+
+def get_neus_surface(model, points, view_dirs, pred_normals, n_samp: int = 32,
+                     dist: float = 0.05):
+    """Short-segment NeuS integration of surface position and normal.
+
+    Parity: NormalTrainRunner.get_neus_surface (train_normal.py:239-286):
+    march backward along the view ray from each surface point, composite
+    position/normal with the NeuS alpha weights (alpha clipped to
+    [0.01, 0.99]), fall back to (points, pred_normals) for residual weight.
+    ``model`` is a Stage2Model (the frozen bridge). Returns
+    (final_x [N,3], final_normal [N,3], gradient_error scalar).
+    """
+    t = jnp.linspace(0.0, dist, n_samp)[:, None]
+    xs = points[:, None, :] - t[None, :, :] * view_dirs[:, None, :]
+    flat = xs.reshape(-1, 3)
+
+    sdfs = model.sdf(flat).reshape(-1, n_samp, 1)
+    normals = model.sdf_gradient(flat).reshape(-1, n_samp, 3)
+
+    next_sdf = jnp.concatenate([sdfs[:, 1:], sdfs[:, -1:]], 1).reshape(-1, 1)
+    prev_sdf = jnp.concatenate([sdfs[:, :-1], sdfs[:, -1:]], 1).reshape(-1, 1)
+    inv_s = model.neus.inv_s()
+    prev_cdf = jax.nn.sigmoid(prev_sdf * inv_s)
+    next_cdf = jax.nn.sigmoid(next_sdf * inv_s)
+    alpha = jnp.clip(((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+                      ).reshape(-1, n_samp), 0.01, 0.99)
+    trans = jnp.cumprod(jnp.concatenate(
+        [jnp.ones((alpha.shape[0], 1)), 1.0 - alpha + 1e-10], -1), -1)
+    weight = (alpha * trans[:, :-1])[..., None]
+    res = 1 - jnp.sum(weight, axis=-2)
+
+    final_x = jnp.sum(xs * weight, axis=-2) + res * points
+    final_normal = jnp.sum(normals * weight, axis=-2) + res * pred_normals
+
+    pts_norm = jnp.linalg.norm(flat, axis=-1).reshape(-1, n_samp)
+    relax = jax.lax.stop_gradient((pts_norm < 1.2).astype(jnp.float32))
+    grad_err = jnp.sum(relax * (jnp.linalg.norm(normals, axis=-1) - 1.0) ** 2
+                       ) / (jnp.sum(relax) + 1e-5)
+    return final_x, final_normal, grad_err
+
+
+def norm_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = None,
+                      chunk: int = 8000):
+    """AE normals vs NeuS short-segment normals for one view
+    (train_normal.py plot_to_disk -> utils/plots.py plot_norm)."""
+    import os
+
+    import numpy as np
+
+    from ..fields.encoding import integrated_pos_enc
+    from ..render.stage2 import Stage2Model
+    from ..tools import plots
+
+    model = Stage2Model(runner.params, runner.cfg, runner.grid_values)
+    dirs, cam_loc = dataset.camera_rays(idx)
+    n = dirs.shape[0]
+
+    @jax.jit
+    def chunk_fn(d, o):
+        t, hit, x = model.trace(o, d)
+        pts_ipe = integrated_pos_enc(x, jnp.full_like(x, 1e-5),
+                                     runner.cfg.envmap.ipe)
+        ae = runner.params["envmap_material_network"]["normal_decoder_layer"]
+        normal, _ = sparse_ae_apply(ae, runner.cfg.envmap.normal_ae, pts_ipe)
+        normal = normal / jnp.clip(jnp.linalg.norm(normal, -1, keepdims=True),
+                                   1e-4, None)
+        _, neus_n, _ = get_neus_surface(model, x, d, normal)
+        m = hit[:, None]
+        return jnp.where(m, normal, 1.0), jnp.where(m, neus_n, 1.0)
+
+    outs = []
+    for i in range(0, n, chunk):
+        d = dirs[i:i + chunk]
+        pad = chunk - d.shape[0]
+        if pad:
+            d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
+        o = np.broadcast_to(cam_loc, d.shape).copy()
+        a, b = chunk_fn(jnp.asarray(d), jnp.asarray(o))
+        cut = chunk - pad if pad else chunk
+        outs.append((np.asarray(a)[:cut], np.asarray(b)[:cut]))
+    out = {"normals": np.concatenate([o[0] for o in outs]),
+           "normal_neus": np.concatenate([o[1] for o in outs])}
+    plots_dir = plots_dir or os.path.join(runner.log_dir or ".",
+                                          runner.stage_name, "plots")
+    gt = dataset.rgb_images[idx]
+    return plots.plot_norm(out, gt, plots_dir, runner.cur_iter, dataset.img_res)

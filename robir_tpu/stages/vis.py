@@ -147,3 +147,49 @@ class VisRunner(Stage2RunnerBase):
         if not metrics:
             metrics = {k: float(v) for k, v in m.items()}
         return metrics
+
+
+def vis_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = None,
+                     chunk: int = 2048, nsamp: int = 8):
+    """Predicted vs traced visibility for one view
+    (train_visibility.py plot_to_disk -> utils/plots.py plot_illum)."""
+    import os
+
+    import numpy as np
+
+    from ..render.stage2 import Stage2Model, stage2_forward, trace_radiance
+    from ..tools import plots
+
+    model = Stage2Model(runner.params, runner.cfg, runner.grid_values)
+    dirs, cam_loc = dataset.camera_rays(idx)
+    n = dirs.shape[0]
+
+    @jax.jit
+    def chunk_fn(d, o, k):
+        inp = {"points": o, "dirs": d,
+               "hdr_shift": jnp.full((d.shape[0], 1), 0.5)}
+        fwd = stage2_forward(model, k, inp, trainstage="Illum")
+        tr = trace_radiance(model, k, fwd, nsamp=nsamp)
+        pred = jax.nn.softmax(tr["pred_vis"], -1)[..., 1].mean(-1)
+        gt = 1.0 - tr["gt_vis"].astype(jnp.float32).mean(-1)
+        m = fwd["network_object_mask"]
+        return jnp.where(m, pred, 1.0), jnp.where(m, gt, 1.0)
+
+    key = runner.next_key()
+    outs = []
+    for i in range(0, n, chunk):
+        d = dirs[i:i + chunk]
+        pad = chunk - d.shape[0]
+        if pad:
+            d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
+        o = np.broadcast_to(cam_loc, d.shape).copy()
+        key, k = jax.random.split(key)
+        a, b = chunk_fn(jnp.asarray(d), jnp.asarray(o), k)
+        cut = chunk - pad if pad else chunk
+        outs.append((np.asarray(a)[:cut], np.asarray(b)[:cut]))
+    out = {"pred_vis": np.concatenate([o[0] for o in outs]),
+           "gt_vis": np.concatenate([o[1] for o in outs])}
+    plots_dir = plots_dir or os.path.join(runner.log_dir or ".",
+                                          runner.stage_name, "plots")
+    gt = dataset.rgb_images[idx]
+    return plots.plot_illum(out, gt, plots_dir, runner.cur_iter, dataset.img_res)

@@ -124,3 +124,24 @@ class TestMesh:
         out = shard_batch(mesh, batch)
         shard_shapes = [s.data.shape for s in out["rays"].addressable_shards]
         assert all(s == (8, 3) for s in shard_shapes)
+
+
+def test_tangent_space_parity():
+    """Oracle: reference utils/utils.py:20-38 tangent_space."""
+    from robir_tpu.core.tree import tangent_space
+    from tests.conftest import has_reference
+    rng = np.random.default_rng(9)
+    n = rng.standard_normal((20, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    b, c = tangent_space(jnp.asarray(n))
+    # orthogonal frame
+    assert np.abs(np.sum(np.asarray(b) * n, -1)).max() < 1e-5
+    assert np.abs(np.sum(np.asarray(c) * n, -1)).max() < 1e-5
+    if has_reference():
+        from tests.ref_loader import import_reference_module, patch_torch_cpu
+        patch_torch_cpu()
+        import torch
+        uu = import_reference_module("utils.utils")
+        wb, wc = uu.tangent_space(torch.from_numpy(n))
+        np.testing.assert_allclose(np.asarray(b), wb.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c), wc.numpy(), rtol=1e-4, atol=1e-5)

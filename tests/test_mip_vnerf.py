@@ -171,3 +171,16 @@ class TestHashGrid:
                         jnp.float32)
         g = jax.grad(lambda p: jnp.sum(hashgrid_encode(p, cfg, x) ** 2))(params)
         assert float(jnp.abs(g["tables"]).sum()) > 0
+
+
+def test_hash_sdf_field():
+    from robir_tpu.fields.hashgrid import (HashGridConfig, HashSDFConfig,
+                                           hash_sdf_apply, init_hash_sdf)
+    cfg = HashSDFConfig(grid=HashGridConfig(n_levels=4, log2_hashmap_size=10),
+                        d_out=17, width=32, depth=2)
+    params = init_hash_sdf(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (40, 3)), jnp.float32)
+    out = hash_sdf_apply(params, cfg, x)
+    assert out.shape == (40, 17)
+    g = jax.grad(lambda p: jnp.sum(hash_sdf_apply(p, cfg, x) ** 2))(params)
+    assert float(jnp.abs(g["hash"]["tables"]).sum()) > 0

@@ -196,3 +196,23 @@ def test_pbr_plot_to_disk(setup, tmp_path):
     h, w = dataset.img_res
     assert img.shape == (2 * h, 3 * w, 3)  # 6-panel grid
     assert img.std() > 1.0  # not a constant image
+
+
+def test_norm_and_vis_plots(setup, tmp_path):
+    """Norm (short-segment NeuS normals) and Vis (visibility maps) plots."""
+    import os
+    from robir_tpu.stages.norm import norm_plot_to_disk
+    from robir_tpu.stages.vis import VisRunner, VisStageConfig, vis_plot_to_disk
+    dataset, cfg, params, mesh_path = setup
+    norm = NormRunner(cfg, params, None,
+                      NormStageConfig(num_pixels=64, opt=SMALL_OPT),
+                      log_dir=str(tmp_path))
+    norm.bake_grid()
+    p = norm_plot_to_disk(norm, dataset, idx=0, chunk=512)
+    assert os.path.exists(p)
+    vis = VisRunner(cfg, params, dataset,
+                    VisStageConfig(num_pixels=16, nsamp=8, opt=SMALL_OPT),
+                    log_dir=str(tmp_path))
+    vis.grid_values = norm.grid_values
+    p = vis_plot_to_disk(vis, dataset, idx=0, chunk=512, nsamp=4)
+    assert os.path.exists(p)

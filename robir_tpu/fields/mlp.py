@@ -50,12 +50,21 @@ def init_linear(key: jax.Array, in_dim: int, out_dim: int, *,
     return {"w": w, "b": b}
 
 
-def apply_linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+def apply_linear(params: Params, x: jnp.ndarray,
+                 compute_dtype=None) -> jnp.ndarray:
+    """``compute_dtype`` (e.g. bfloat16) runs the matmul on low-precision
+    operands with fp32 accumulation — used for tolerance-insensitive paths
+    like no-grad importance sampling."""
     if "v" in params:
         v = params["v"]
         w = v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
     else:
         w = params["w"]
+    if compute_dtype is not None:
+        y = jax.lax.dot_general(x.astype(compute_dtype), w.astype(compute_dtype),
+                                (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return y + params["b"]
     return x @ w + params["b"]
 
 

@@ -71,8 +71,9 @@ class NeuS:
         self.params = params
         self.cfg = cfg
 
-    def sdf(self, x: jnp.ndarray) -> jnp.ndarray:
-        return sdf_value(self.params["sdf_network"], self.cfg.sdf, x)
+    def sdf(self, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+        return sdf_apply(self.params["sdf_network"], self.cfg.sdf, x,
+                         compute_dtype)[..., :1]
 
     def sdf_and_feat(self, x: jnp.ndarray):
         return sdf_and_feat(self.params["sdf_network"], self.cfg.sdf, x)

@@ -49,6 +49,9 @@ class NeusRenderConfig:
     up_sample_steps: int = 4
     white_bkgd: bool = True
     perturb: float = 1.0
+    # low-precision trunk matmuls for the no-grad importance-sampling phase
+    # only (sample placement tolerates bf16; the shaded render stays fp32)
+    sampling_dtype: str | None = None
 
 
 def sample_pdf(key: Optional[jax.Array], bins: jnp.ndarray, weights: jnp.ndarray,
@@ -110,7 +113,8 @@ def up_sample(rays_o, rays_d, z_vals, sdf, n_importance, inv_s, sphere_radius=1.
     return sample_pdf(None, z_vals, weights, n_importance, det=True)
 
 
-def cat_z_vals(model: NeuS, rays_o, rays_d, z_vals, new_z_vals, sdf, last: bool):
+def cat_z_vals(model: NeuS, rays_o, rays_d, z_vals, new_z_vals, sdf,
+               last: bool, compute_dtype=None):
     """Merge + sort sample positions, gathering SDF values along.
     Parity: sdf_render.py:85-99."""
     batch_size, n_samples = z_vals.shape
@@ -121,7 +125,8 @@ def cat_z_vals(model: NeuS, rays_o, rays_d, z_vals, new_z_vals, sdf, last: bool)
     if last:
         return z_sorted, sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
-    new_sdf = model.sdf(pts.reshape(-1, 3)).reshape(batch_size, n_importance)
+    new_sdf = model.sdf(pts.reshape(-1, 3), compute_dtype).reshape(
+        batch_size, n_importance)
     sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
     return z_sorted, jnp.take_along_axis(sdf_all, order, axis=-1)
 
@@ -265,15 +270,20 @@ def render_neus(key: Optional[jax.Array], rays: Rays, model: NeuS,
 
     # importance sampling (no grad, like the reference's torch.no_grad block)
     if cfg.n_importance > 0:
+        samp_dtype = (jnp.bfloat16 if cfg.sampling_dtype == "bfloat16"
+                      else None)
+
         def sampling(z_vals):
             pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., :, None]
-            sdf = model.sdf(pts.reshape(-1, 3)).reshape(batch_size, cfg.n_samples)
+            sdf = model.sdf(pts.reshape(-1, 3), samp_dtype).reshape(
+                batch_size, cfg.n_samples)
             for i in range(cfg.up_sample_steps):
                 new_z = up_sample(rays_o, rays_d, z_vals, sdf,
                                   cfg.n_importance // cfg.up_sample_steps,
                                   64 * 2 ** i, model.radius())
                 z_vals, sdf = cat_z_vals(model, rays_o, rays_d, z_vals, new_z,
-                                         sdf, last=(i + 1 == cfg.up_sample_steps))
+                                         sdf, last=(i + 1 == cfg.up_sample_steps),
+                                         compute_dtype=samp_dtype)
             return z_vals
 
         z_vals = jax.lax.stop_gradient(sampling(jax.lax.stop_gradient(z_vals)))

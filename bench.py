@@ -15,18 +15,89 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 5600.0  # see module docstring
+# Reference PBR stage: 1024 px/iter with 128-SG visibility sweeps; a modern
+# single GPU sustains roughly 2-3 it/s on this workload => ~2.5k px/s.
+REFERENCE_PBR_PX_PER_SEC = 2500.0
 BATCH = 512
 SCAN_STEPS = 20
 REPS = 6
 
 
 def main():
+    if os.environ.get("ROBIR_BENCH_STAGE", "neus") == "pbr":
+        return main_pbr()
+    return main_neus()
+
+
+def main_pbr():
+    """Secondary metric: PBR-stage training throughput at reference scale
+    (1024 px/iter, 128 light SGs; hotdog.conf:9,94-108). Select with
+    ROBIR_BENCH_STAGE=pbr."""
+    import jax
+    import jax.numpy as jnp
+
+    from robir_tpu.render.stage2 import Stage2Config, Stage2Model
+    from robir_tpu.stages.pbr import PBRStageConfig, make_pbr_step
+    from robir_tpu.stages.stage2_runner import (StageOptConfig,
+                                                init_stage2_params, make_adam,
+                                                split_params)
+    from robir_tpu.tracing.grid import build_sdf_grid
+
+    cfg = Stage2Config()
+    params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    grid = build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid)
+
+    n = 1024
+    rng = np.random.default_rng(0)
+    o = rng.standard_normal((n, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 0.55
+    batch = {"points": jnp.asarray(o), "dirs": jnp.asarray(-o / 0.55),
+             "object_mask": jnp.ones((n,), bool),
+             "rgb": jnp.full((n, 3), 0.5)}
+
+    opt = make_adam(StageOptConfig(lr=5e-4))
+    trainable, frozen = split_params(params, ("gamma",
+                                              "envmap_material_network"))
+    opt_state = opt.init(trainable)
+    step = make_pbr_step(cfg, PBRStageConfig(num_pixels=n), opt)
+    k_steps = 8
+
+    def multi(trainable, opt_state, key):
+        def body(c, k):
+            t, s = c
+            t, s, m = step.__wrapped__(t, frozen, s, grid, batch, k)
+            return (t, s), m["loss"]
+
+        return jax.lax.scan(body, (trainable, opt_state),
+                            jax.random.split(key, k_steps))
+
+    f = jax.jit(multi)
+    out = f(trainable, opt_state, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    best = float("inf")
+    for rep in range(4):
+        t0 = time.perf_counter()
+        out = f(trainable, opt_state, jax.random.PRNGKey(rep + 1))
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / k_steps)
+    per_chip = n / best / len(jax.devices())
+    print(json.dumps({
+        "metric": "pbr_train_pixels_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "px/s/chip",
+        "vs_baseline": round(per_chip / REFERENCE_PBR_PX_PER_SEC, 3),
+    }))
+
+
+def main_neus():
     import jax
     import jax.numpy as jnp
     import optax

@@ -47,14 +47,16 @@ def init_visnet(key: jax.Array, cfg: VisNetConfig) -> Params:
 
 
 def visnet_apply(params: Params, cfg: VisNetConfig, points: jnp.ndarray,
-                 view_dirs: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3], [..., 3] -> [..., 2] logits."""
+                 view_dirs: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """[..., 3], [..., 3] -> [..., 2] logits. ``compute_dtype`` runs the
+    trunk in low precision (fp32 accumulate) — safe for classifier logits
+    and the dominant cost of the PBR visibility sweeps."""
     p = positional_encoding(points, cfg.p_pe)
     d = positional_encoding(view_dirs, cfg.d_pe)
     h = jnp.concatenate([p, d], axis=-1)
     n = len(cfg.dims) + 1
     for i in range(n):
-        h = apply_linear(params[f"lin{i}"], h)
+        h = apply_linear(params[f"lin{i}"], h, compute_dtype)
         if i < n - 1:
             h = jax.nn.relu(h)
     return h

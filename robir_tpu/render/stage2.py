@@ -53,6 +53,12 @@ class Stage2Config:
     grid: GridConfig = GridConfig()
     coord_scale: float = 2.0  # stage-2 -> stage-1 coords (neus_model.py:785-791)
     bgr: bool = False
+    # low-precision visibility-MLP sweeps (classifier logits tolerate bf16,
+    # and the sweeps are the PBR/CESR stages' dominant cost). Caveat: on
+    # some compilers the mixed-precision graph retains dual copies of the
+    # sweep encodings and can exceed HBM; measured neutral-to-OOM on v5e,
+    # so it defaults off.
+    vis_compute_dtype: str | None = None
 
 
 class Stage2Model:
@@ -137,8 +143,10 @@ class Stage2Model:
                               self.cfg.indirect, points, hdr_shift, key=key)
 
     def vis_logits(self, points, dirs):
+        dtype = (jnp.bfloat16 if self.cfg.vis_compute_dtype == "bfloat16"
+                 else None)
         return visnet_apply(self.params["visibility_network"], self.cfg.visnet,
-                            points, dirs)
+                            points, dirs, compute_dtype=dtype)
 
     def trace(self, origins, dirs):
         """Primary/secondary ray cast via the cached-SDF grid."""

@@ -156,23 +156,41 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
     active = valid
 
     def body(state):
-        t, active, hit, it = state
+        t, t_prev, active, hit, it = state
         x = rays_o + t[:, None] * rays_d
         s = grid_sdf(grid, cfg, x)
         new_hit = active & (s < eps_hit)
         step = jnp.maximum(cfg.relax * s, min_step)
+        t_prev = jnp.where(active & ~new_hit, t, t_prev)
         t_next = jnp.where(active & ~new_hit, t + step, t)
         inside = t_next <= t_far
         active = active & ~new_hit & inside
-        return t_next, active, hit | new_hit, it + 1
+        return t_next, t_prev, active, hit | new_hit, it + 1
 
     def cond(state):
-        _, active, _, it = state
+        _, _, active, _, it = state
         return jnp.any(active) & (it < cfg.max_steps)
 
     hit0 = jnp.zeros_like(valid)
-    t, _, hit, _ = jax.lax.while_loop(
-        cond, body, (t, active, hit0, jnp.int32(0)))
+    t, t_prev, _, hit, _ = jax.lax.while_loop(
+        cond, body, (t, t, active, hit0, jnp.int32(0)))
+
+    # bisection refinement on [t_prev, t]: the surface crossing is bracketed
+    # by the last march step whenever the march overshot (s(t) < 0); for
+    # early stops (0 <= s < eps) the bracket degenerates to t and the
+    # Newton step below does the work. Tightens grazing-ray hits well past
+    # the cell-scale accuracy of the reference octree's surface cells.
+    lo = t_prev
+    hi = t
+    s_hi = grid_sdf(grid, cfg, rays_o + hi[:, None] * rays_d)
+    bracketed = hit & (s_hi < 0.0)
+    for _ in range(8):
+        mid = 0.5 * (lo + hi)
+        s_mid = grid_sdf(grid, cfg, rays_o + mid[:, None] * rays_d)
+        go_lo = s_mid > 0.0
+        lo = jnp.where(bracketed & go_lo, mid, lo)
+        hi = jnp.where(bracketed & ~go_lo, mid, hi)
+    t = jnp.where(bracketed, 0.5 * (lo + hi), t)
 
     # one Newton refinement along the normal (octree.py:428-436)
     x = rays_o + t[:, None] * rays_d

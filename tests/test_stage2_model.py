@@ -83,8 +83,8 @@ def test_forward_material(model):
     # surface points lie on the SDF zero level set (the fresh geometric-init
     # surface is only loosely spherical, so check sdf, not radius)
     s = np.abs(np.asarray(model.sdf(out["points"])))
-    assert np.median(s) < 5e-3, np.median(s)
-    assert (s < 0.02).mean() > 0.8  # grazing rays carry cell-scale error
+    assert np.median(s) < 1e-3, np.median(s)
+    assert (s < 0.01).mean() > 0.9  # bisection-refined hits
     # SG colors are non-negative
     assert np.asarray(out["sg_rgb"]).min() >= 0
 

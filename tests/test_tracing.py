@@ -65,7 +65,7 @@ class TestGridTracer:
         assert (hit == want_hit).mean() > 0.97
         both = hit & want_hit
         err = np.abs(np.asarray(t)[both] - t_true[both])
-        assert np.median(err) < 5e-3 and err.max() < 5e-2
+        assert np.median(err) < 1e-3 and err.max() < 5e-2
 
     def test_miss_rays(self, grid):
         # rays pointing away from the sphere never hit

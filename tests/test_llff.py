@@ -76,3 +76,46 @@ def test_spiral_path_shape():
     path = spiral_path(poses, bds, n_frames=30)
     assert path.shape == (30, 3, 4)
     assert np.isfinite(path).all()
+
+
+def test_multicam_loader(tmp_path):
+    """Multicam metadata.json with two different-resolution cameras."""
+    import json
+    from PIL import Image
+    from robir_tpu.data.multicam import MulticamConfig, MulticamScene
+    rng = np.random.default_rng(5)
+    os.makedirs(tmp_path / "imgs", exist_ok=True)
+    meta = {"train": {"file_path": [], "pix2cam": [], "cam2world": [],
+                      "width": [], "height": [], "lossmult": [],
+                      "near": [], "far": []}}
+    for i, (h, w) in enumerate([(16, 20), (24, 30)]):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "imgs" / f"{i}.png")
+        focal = 0.5 * w
+        pix2cam = np.linalg.inv(np.array(
+            [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]))
+        c2w = np.eye(4)[:3]
+        c2w[:, 3] = [0, 0, 2.0 + i]
+        m = meta["train"]
+        m["file_path"].append(f"imgs/{i}.png")
+        m["pix2cam"].append(pix2cam.tolist())
+        m["cam2world"].append(c2w.tolist())
+        m["width"].append(w)
+        m["height"].append(h)
+        m["lossmult"].append(1.0)
+        m["near"].append(1.0)
+        m["far"].append(6.0)
+    with open(tmp_path / "metadata.json", "w") as f:
+        json.dump(meta, f)
+
+    scene = MulticamScene(MulticamConfig(dataset_dir=str(tmp_path)))
+    assert scene.n_images == 2
+    assert scene.flat.origins.shape[0] == 16 * 20 + 24 * 30
+    b = scene.sample(np.random.default_rng(0), 32)
+    assert b.pixels.shape == (32, 3)
+    np.testing.assert_allclose(np.linalg.norm(b.viewdirs, axis=-1), 1.0,
+                               rtol=1e-5)
+    r0 = scene.image_rays(0)
+    assert r0.origins.shape[0] == 16 * 20
+    # origins at the camera centers
+    np.testing.assert_allclose(r0.origins[0], [0, 0, 2.0], atol=1e-6)

@@ -103,3 +103,95 @@ def make_sphere_dataset(out_dir: str, n_train: int = 20, n_test: int = 4,
 def sphere_scene(tmp_dir: str, **kwargs) -> BlenderScene:
     make_sphere_dataset(tmp_dir, **kwargs)
     return BlenderScene(BlenderConfig(dataset_dir=tmp_dir), "train")
+
+
+def render_two_sphere_gt(c2w: np.ndarray, h: int, w: int, focal: float,
+                         centers=((0.0, 0.0, 0.0), (0.37, 0.22, 0.61)),
+                         radii=(0.5, 0.18),
+                         albedos=((0.8, 0.3, 0.2), (0.25, 0.45, 0.8)),
+                         light_dir=(0.5, 0.3, 0.8)) -> np.ndarray:
+    """Two lambertian spheres with hard cast shadows — ground truth for the
+    shadow-removal (Vis/CESR) stages. Returns RGBA [h, w, 4]."""
+    x, y = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32), indexing="xy")
+    dirs = np.stack([(x - w * 0.5 + 0.5) / focal,
+                     -(y - h * 0.5 + 0.5) / focal,
+                     -np.ones_like(x)], -1)
+    dirs = dirs @ c2w[:3, :3].T
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = c2w[:3, 3]
+    ld = np.asarray(light_dir, np.float32)
+    ld = ld / np.linalg.norm(ld)
+
+    def sphere_hit(origins, d, c, r):
+        oc = origins - np.asarray(c, np.float32)
+        b = 2.0 * np.sum(oc * d, -1)
+        cc = np.sum(oc * oc, -1) - r * r
+        disc = b * b - 4 * cc
+        t = (-b - np.sqrt(np.maximum(disc, 0.0))) / 2.0
+        hit = (disc > 0) & (t > 1e-4)
+        return np.where(hit, t, np.inf), hit
+
+    flat_o = np.broadcast_to(o, dirs.reshape(-1, 3).shape)
+    d = dirs.reshape(-1, 3)
+    t0, h0 = sphere_hit(flat_o, d, centers[0], radii[0])
+    t1, h1 = sphere_hit(flat_o, d, centers[1], radii[1])
+    t = np.minimum(t0, t1)
+    which = (t1 < t0).astype(np.int32)
+    hit = h0 | h1
+
+    pts = flat_o + np.where(np.isfinite(t), t, 0.0)[:, None] * d
+    out = np.zeros((h * w, 4), np.float32)
+    out[:, :3] = 1.0
+    for si in range(2):
+        sel = hit & (which == si)
+        if not sel.any():
+            continue
+        p = pts[sel]
+        n = (p - np.asarray(centers[si], np.float32)) / radii[si]
+        # cast-shadow test toward the (directional) light
+        shadow = np.zeros(len(p), bool)
+        for sj in range(2):
+            if sj == si:
+                continue
+            _, sh = sphere_hit(p + 1e-3 * n, np.broadcast_to(ld, p.shape),
+                               centers[sj], radii[sj])
+            shadow |= sh
+        lam = np.clip(n @ ld, 0.0, 1.0)
+        lam = np.where(shadow, 0.0, lam)
+        rgb = (lam[:, None] * 0.8 + 0.2) * np.asarray(albedos[si], np.float32)
+        out_idx = np.where(sel)[0]
+        out[out_idx, :3] = rgb
+        out[out_idx, 3] = 1.0
+    return out.reshape(h, w, 4)
+
+
+def make_shadow_dataset(out_dir: str, n_train: int = 20, n_test: int = 3,
+                        h: int = 128, w: int = 128,
+                        camera_angle_x: float = 0.6911112070083618,
+                        cam_dist: float = 3.2, seed: int = 0) -> str:
+    """Blender-format two-sphere scene with cast shadows."""
+    from PIL import Image
+
+    focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("test", n_test), ("val", 2)):
+        frames = []
+        os.makedirs(os.path.join(out_dir, split), exist_ok=True)
+        for i in range(n):
+            theta = (i / n) * 2 * np.pi + float(rng.uniform(0, 0.1))
+            phi = float(rng.uniform(0.15, 1.1))
+            eye = cam_dist * np.array([
+                np.cos(theta) * np.cos(phi),
+                np.sin(theta) * np.cos(phi),
+                np.sin(phi)], np.float32)
+            c2w = look_at(eye, np.array([0.2, 0.1, 0.35], np.float32))
+            img = render_two_sphere_gt(c2w, h, w, focal)
+            name = f"{split}/r_{i}"
+            Image.fromarray((img * 255).astype(np.uint8), "RGBA").save(
+                os.path.join(out_dir, name + ".png"))
+            frames.append({"file_path": name,
+                           "transform_matrix": c2w.tolist()})
+        with open(os.path.join(out_dir, f"transforms_{split}.json"), "w") as fp:
+            json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, fp)
+    return out_dir

@@ -315,9 +315,15 @@ def spherical_uniform(key: jax.Array, shape) -> jnp.ndarray:
 
 
 def trace_radiance(model: Stage2Model, key: jax.Array, forward_out: dict,
-                   nsamp: int = 16) -> dict:
+                   nsamp: int = 16, shard_fan: bool = False) -> dict:
     """Secondary-ray supervision for the Vis stage
     (IDRNetwork.trace_radiance, :566-650), dense-masked.
+
+    ``shard_fan`` re-shards the flattened [N*S] secondary-ray fan over the
+    mesh 'data' axis (the context-parallel analog of SURVEY.md 5.7/7.3):
+    with few surface pixels but many directions, the fan — not the pixel
+    batch — carries the memory and compute, so its own axis must spread
+    over the devices. Requires running inside a Mesh context.
 
     Returns trace_radiance [N, S, 3], sample_dirs [N, S, 3], gt_vis [N, S]
     bool, pred_vis [N, S, 2], indir_mask [N, S], gt_integral [N, 3].
@@ -338,6 +344,12 @@ def trace_radiance(model: Stage2Model, key: jax.Array, forward_out: dict,
     origins = points + normals * 0.005
     o_flat = jnp.broadcast_to(origins[:, None, :], (n, nsamp, 3)).reshape(-1, 3)
     d_flat = sample_dirs.reshape(-1, 3)
+    if shard_fan:
+        from jax.sharding import PartitionSpec as _P
+
+        from ..core.mesh import DATA_AXIS as _AX
+        o_flat = jax.lax.with_sharding_constraint(o_flat, _P(_AX))
+        d_flat = jax.lax.with_sharding_constraint(d_flat, _P(_AX))
     sec_t, sec_hit, sec_x = jax.tree_util.tree_map(
         jax.lax.stop_gradient, model.trace(o_flat, d_flat))
 

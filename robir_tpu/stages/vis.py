@@ -37,6 +37,7 @@ class VisStageConfig:
     opt: StageOptConfig = StageOptConfig(lr=5e-4)
     loss: IllumLossConfig = IllumLossConfig(loss_type="L1")
     anneal_t: float = 0.0
+    shard_fan: bool = False  # shard the [pixels*nsamp] fan over 'data'
 
 
 def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
@@ -55,7 +56,8 @@ def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
                    "object_mask": batch["object_mask"],
                    "hdr_shift": batch["hdr_shift"]}
             fwd = stage2_forward(model, k_fwd, inp, trainstage="Illum")
-            trace = trace_radiance(model, k_trace, fwd, nsamp=stage_cfg.nsamp)
+            trace = trace_radiance(model, k_trace, fwd, nsamp=stage_cfg.nsamp,
+                                   shard_fan=stage_cfg.shard_fan)
             return illum_loss(
                 stage_cfg.loss,
                 indirect_sgs=fwd["indirect_sgs"],
@@ -97,6 +99,10 @@ class VisRunner(Stage2RunnerBase):
                  stage_cfg: VisStageConfig = VisStageConfig(),
                  log_dir: str | None = None, seed: int = 0, mesh=None):
         super().__init__(cfg, params, log_dir, seed, mesh=mesh)
+        if stage_cfg.shard_fan and mesh is None:
+            # with_sharding_constraint needs a mesh context; single-device
+            # runs simply don't shard the fan.
+            stage_cfg = dataclasses.replace(stage_cfg, shard_fan=False)
         self.stage_cfg = stage_cfg
         self.dataset = dataset
         self.vis_opt = make_adam(stage_cfg.opt)
@@ -130,6 +136,12 @@ class VisRunner(Stage2RunnerBase):
                                  "hdr_shift": hdr_shift})
 
     def run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
+        import contextlib
+        ctx = self.mesh if self.mesh is not None else contextlib.nullcontext()
+        with ctx:
+            return self._run(n_iters, log_every, log_fn)
+
+    def _run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
         metrics = {}
         for _ in range(n_iters):
             batch = self._batch()

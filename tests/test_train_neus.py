@@ -97,3 +97,32 @@ def test_sg_fit_descends():
                            log_fn=lambda i, l: losses.append(l))
     assert loss < losses[0] * 0.25
     assert sgs.shape == (8, 7)
+
+
+def test_shadow_dataset_has_cast_shadows(tmp_path):
+    """Two-sphere scene: some big-sphere pixels facing the light must be
+    darkened by the small occluder (hard cast shadow), and the blender
+    loader must ingest the scene unchanged."""
+    from robir_tpu.data.blender import BlenderConfig, BlenderScene
+    from robir_tpu.data.synthetic import (make_shadow_dataset,
+                                          render_two_sphere_gt, look_at)
+
+    d = str(tmp_path / "shadow")
+    make_shadow_dataset(d, n_train=3, n_test=1, h=48, w=48)
+    scene = BlenderScene(BlenderConfig(dataset_dir=d), "train")
+    assert scene.n_images == 3
+
+    # off-axis view near the light direction: the shadow patch is visible
+    # (from exactly the light axis the occluder hides its own shadow)
+    ld = np.array([0.5, 0.3, 0.8]); ld = ld / np.linalg.norm(ld)
+    eye = ld + np.array([0.8, -0.6, 0.2])
+    eye = eye / np.linalg.norm(eye) * 3.0
+    c2w = look_at(eye.astype(np.float32), np.zeros(3, np.float32))
+    focal = 0.5 * 96 / np.tan(0.5 * 0.6911112070083618)
+    img = render_two_sphere_gt(c2w, 96, 96, focal)
+    hit = img[..., 3] > 0.5
+    # shadowed big-sphere pixels: ambient only = 0.2 * albedo_r = 0.16
+    red = img[..., 0][hit]
+    shadow_frac = (np.abs(red - 0.2 * 0.8) < 1e-6).mean()
+    assert shadow_frac > 0.02, shadow_frac   # the cast-shadow patch exists
+    assert (red > 0.5).any()                 # lit region exists too

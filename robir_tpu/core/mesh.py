@@ -29,9 +29,13 @@ class MeshConfig:
     data: int = -1  # -1 = all available devices
 
 
-def create_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+def create_mesh(cfg: MeshConfig | int = MeshConfig(), devices=None) -> Mesh:
+    if isinstance(cfg, int):
+        cfg = MeshConfig(data=cfg)
     devices = list(devices if devices is not None else jax.devices())
     n = cfg.data if cfg.data > 0 else len(devices)
+    if n > len(devices):
+        raise ValueError(f"mesh wants {n} devices, only {len(devices)} present")
     return Mesh(np.array(devices[:n]).reshape(n), (DATA_AXIS,))
 
 

@@ -746,3 +746,360 @@ extern "C" int piz_uncompress(const uint8_t* src, int64_t src_len, int n_channel
   for (size_t i = 0; i < n_out; i++) out[i] = lut[out[i]];
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// PIZ compression (encode side of the codec above), HALF channels
+// ---------------------------------------------------------------------------
+//
+// Write-side parity for HDR assets: bitmap -> forward LUT, forward 2D
+// wavelet (wenc14/wenc16), canonical Huffman with the same zero-run table
+// packing and run-length escapes the decoder expects.
+
+namespace piz {
+
+struct BitWriter {
+  std::vector<uint8_t>& out;
+  uint32_t c = 0;
+  int lc = 0;
+  uint64_t bits_written = 0;
+
+  explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+
+  inline void put_bit(int b) {
+    c = (c << 1) | (b & 1);
+    if (++lc == 8) {
+      out.push_back((uint8_t)c);
+      c = 0;
+      lc = 0;
+    }
+    bits_written++;
+  }
+  inline void put_bits(int n, uint64_t v) {
+    for (int i = n - 1; i >= 0; --i) put_bit((int)((v >> i) & 1));
+  }
+  void flush() {
+    while (lc != 0) put_bit(0);  // pad to byte (padding counts as no data)
+  }
+};
+
+static void forward_lut_from_bitmap(const uint8_t* bitmap, uint16_t* lut,
+                                    int* max_value) {
+  int k = 0;
+  for (int i = 0; i < USHORT_RANGE; i++) {
+    if (i == 0 || (bitmap[i >> 3] & (1 << (i & 7))))
+      lut[i] = (uint16_t)k++;
+    else
+      lut[i] = 0;
+  }
+  *max_value = k - 1;
+}
+
+static inline void wenc14(uint16_t a, uint16_t b, uint16_t& l, uint16_t& h) {
+  int16_t as = (int16_t)a;
+  int16_t bs = (int16_t)b;
+  int16_t ms = (int16_t)((as + bs) >> 1);
+  int16_t ds = (int16_t)(as - bs);
+  l = (uint16_t)ms;
+  h = (uint16_t)ds;
+}
+
+static inline void wenc16(uint16_t a, uint16_t b, uint16_t& l, uint16_t& h) {
+  int ao = (a + A_OFFSET) & MOD_MASK;
+  int m = (ao + b) >> 1;
+  int d = ao - b;
+  if (d < 0) m = (m + A_OFFSET) & MOD_MASK;
+  d &= MOD_MASK;
+  l = (uint16_t)m;
+  h = (uint16_t)d;
+}
+
+static void wav2_encode(uint16_t* in, int nx, int ox, int ny, int oy,
+                        uint16_t mx) {
+  bool w14 = (mx < (1 << 14));
+  int n = (nx > ny) ? ny : nx;
+  int p = 1;
+  int p2 = 2;
+  while (p2 <= n) {
+    uint16_t* py = in;
+    uint16_t* ey = in + oy * (ny - p2);
+    int oy1 = oy * p;
+    int oy2 = oy * p2;
+    int ox1 = ox * p;
+    int ox2 = ox * p2;
+    uint16_t i00, i01, i10, i11;
+    for (; py <= ey; py += oy2) {
+      uint16_t* px = py;
+      uint16_t* ex = py + ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        uint16_t* p10 = px + oy1;
+        uint16_t* p11 = p10 + ox1;
+        if (w14) {
+          wenc14(*px, *p01, i00, i01);
+          wenc14(*p10, *p11, i10, i11);
+          wenc14(i00, i10, *px, *p10);
+          wenc14(i01, i11, *p01, *p11);
+        } else {
+          wenc16(*px, *p01, i00, i01);
+          wenc16(*p10, *p11, i10, i11);
+          wenc16(i00, i10, *px, *p10);
+          wenc16(i01, i11, *p01, *p11);
+        }
+      }
+      if (nx & p) {
+        uint16_t* p10 = px + oy1;
+        if (w14)
+          wenc14(*px, *p10, i00, *p10);
+        else
+          wenc16(*px, *p10, i00, *p10);
+        *px = i00;
+      }
+    }
+    if (ny & p) {
+      uint16_t* px = py;
+      uint16_t* ex = py + ox * (nx - p2);
+      for (; px <= ex; px += ox2) {
+        uint16_t* p01 = px + ox1;
+        if (w14)
+          wenc14(*px, *p01, i00, *p01);
+        else
+          wenc16(*px, *p01, i00, *p01);
+        *px = i00;
+      }
+    }
+    p = p2;
+    p2 <<= 1;
+  }
+}
+
+// Huffman code lengths by heap-free two-queue merge over nonzero symbols.
+static void huf_code_lengths(const uint64_t* freq, int im, int iM,
+                             uint8_t* length) {
+  struct Node {
+    uint64_t f;
+    int l, r;   // children (node indices), -1 = leaf
+    int sym;
+  };
+  std::vector<Node> nodes;
+  std::vector<int> leaves;
+  for (int s = im; s <= iM; s++) {
+    if (freq[s] > 0) {
+      nodes.push_back({freq[s], -1, -1, s});
+      leaves.push_back((int)nodes.size() - 1);
+    }
+  }
+  memset(length, 0, HUF_ENCSIZE);
+  if (leaves.empty()) return;
+  if (leaves.size() == 1) {
+    length[nodes[leaves[0]].sym] = 1;
+    return;
+  }
+  // sort leaves ascending by freq; merge queue is produced in order
+  std::sort(leaves.begin(), leaves.end(), [&](int a, int b) {
+    return nodes[a].f < nodes[b].f;
+  });
+  std::vector<int> merged;
+  size_t li = 0, mi = 0;
+  auto pop_min = [&]() -> int {
+    bool take_leaf;
+    if (li < leaves.size() && mi < merged.size())
+      take_leaf = nodes[leaves[li]].f <= nodes[merged[mi]].f;
+    else
+      take_leaf = li < leaves.size();
+    return take_leaf ? leaves[li++] : merged[mi++];
+  };
+  int root = -1;
+  while (leaves.size() - li + merged.size() - mi >= 2) {
+    int a = pop_min();
+    int b = pop_min();
+    nodes.push_back({nodes[a].f + nodes[b].f, a, b, -1});
+    merged.push_back((int)nodes.size() - 1);
+    root = (int)nodes.size() - 1;
+  }
+  // iterative depth assignment
+  std::vector<std::pair<int, int>> stack = {{root, 0}};
+  while (!stack.empty()) {
+    auto [ni, d] = stack.back();
+    stack.pop_back();
+    const Node& nd = nodes[ni];
+    if (nd.sym >= 0) {
+      length[nd.sym] = (uint8_t)(d > 0 ? d : 1);
+    } else {
+      stack.push_back({nd.l, d + 1});
+      stack.push_back({nd.r, d + 1});
+    }
+  }
+}
+
+// canonical code assignment — identical to the decoder's reconstruction
+static void huf_canonical(uint64_t* hcode) {
+  int64_t n[59];
+  for (int i = 0; i < 59; i++) n[i] = 0;
+  for (int i = 0; i < HUF_ENCSIZE; i++) n[hcode[i]] += 1;
+  int64_t c = 0;
+  for (int i = 58; i > 0; --i) {
+    int64_t nc = (c + n[i]) >> 1;
+    n[i] = c;
+    c = nc;
+  }
+  for (int i = 0; i < HUF_ENCSIZE; i++) {
+    int l = (int)hcode[i];
+    if (l > 0) hcode[i] = (uint64_t)l | ((uint64_t)(n[l]++) << 6);
+  }
+}
+
+// zero-run table packing (mirror of huf_unpack_enc_table)
+static void huf_pack_enc_table(const uint64_t* hcode, int im, int iM,
+                               BitWriter& bw) {
+  for (int i = im; i <= iM; i++) {
+    int l = (int)(hcode[i] & 63);
+    if (l == 0) {
+      int zerun = 1;
+      while (i < iM && zerun < 255 + 6) {
+        if ((hcode[i + 1] & 63) != 0) break;
+        i++;
+        zerun++;
+      }
+      if (zerun >= 2) {
+        if (zerun >= 6) {
+          bw.put_bits(6, 63);            // LONG_ZEROCODE_RUN
+          bw.put_bits(8, zerun - 6);
+        } else {
+          bw.put_bits(6, 59 + zerun - 2);  // SHORT_ZEROCODE_RUN
+        }
+        continue;
+      }
+    }
+    bw.put_bits(6, l);
+  }
+}
+
+static inline void send_code(BitWriter& bw, uint64_t scode, int run,
+                             uint64_t rcode) {
+  int sl = (int)(scode & 63);
+  int rl = (int)(rcode & 63);
+  if (sl + rl + 8 < sl * (run + 1)) {
+    bw.put_bits(sl, scode >> 6);
+    bw.put_bits(rl, rcode >> 6);
+    bw.put_bits(8, run);
+  } else {
+    for (int i = 0; i <= run; i++) bw.put_bits(sl, scode >> 6);
+  }
+}
+
+}  // namespace piz
+
+// One PIZ chunk: planar u16 in [n_channels][rows][width] -> compressed
+// payload (malloc'd; release with free_buffer). Returns payload size, or
+// -1 on error. If the compressed form is not smaller than the input the
+// caller should store the chunk uncompressed (EXR convention).
+extern "C" int64_t piz_compress(const uint16_t* in, int n_channels, int width,
+                                int rows, uint8_t** out) {
+  using namespace piz;
+  size_t n = (size_t)n_channels * rows * width;
+  if (n == 0) return -1;
+
+  // bitmap + forward LUT
+  std::vector<uint8_t> bitmap(BITMAP_SIZE, 0);
+  for (size_t i = 0; i < n; i++) bitmap[in[i] >> 3] |= (1 << (in[i] & 7));
+  bitmap[0] &= ~1;  // zero is implicit
+  std::vector<uint16_t> lut(USHORT_RANGE);
+  int max_value;
+  forward_lut_from_bitmap(bitmap.data(), lut.data(), &max_value);
+
+  std::vector<uint16_t> data(n);
+  for (size_t i = 0; i < n; i++) data[i] = lut[in[i]];
+
+  int min_nz = BITMAP_SIZE, max_nz = 0;
+  for (int i = 0; i < BITMAP_SIZE; i++) {
+    if (bitmap[i]) {
+      if (i < min_nz) min_nz = i;
+      if (i > max_nz) max_nz = i;
+    }
+  }
+
+  for (int ch = 0; ch < n_channels; ch++) {
+    wav2_encode(data.data() + (size_t)ch * rows * width, width, 1, rows,
+                width, (uint16_t)max_value);
+  }
+
+  // Huffman: freq over data + the run-length escape symbol iM = max+1
+  std::vector<uint64_t> freq(HUF_ENCSIZE, 0);
+  for (size_t i = 0; i < n; i++) freq[data[i]]++;
+  int im = 0;
+  while (im < HUF_ENCSIZE && freq[im] == 0) im++;
+  int iM = HUF_ENCSIZE - 1;
+  while (iM > 0 && freq[iM] == 0) iM--;
+  iM += 1;  // run-length code gets the slot after the largest symbol
+  if (iM >= HUF_ENCSIZE) return -1;
+  freq[iM] = 1;
+
+  std::vector<uint8_t> lengths(HUF_ENCSIZE);
+  huf_code_lengths(freq.data(), im, iM, lengths.data());
+  std::vector<uint64_t> hcode(HUF_ENCSIZE);
+  int max_len = 0;
+  for (int i = 0; i < HUF_ENCSIZE; i++) {
+    hcode[i] = lengths[i];
+    if (lengths[i] > max_len) max_len = lengths[i];
+  }
+  if (max_len > 58) return -2;  // unreachable for chunk-sized inputs
+  huf_canonical(hcode.data());
+
+  std::vector<uint8_t> table_bytes;
+  {
+    BitWriter tw(table_bytes);
+    huf_pack_enc_table(hcode.data(), im, iM, tw);
+    tw.flush();
+  }
+
+  std::vector<uint8_t> data_bytes;
+  uint64_t n_bits;
+  {
+    BitWriter bw(data_bytes);
+    uint16_t s = data[0];
+    int cs = 0;
+    for (size_t i = 1; i < n; i++) {
+      if (data[i] == s && cs < 255) {
+        cs++;
+      } else {
+        send_code(bw, hcode[s], cs, hcode[iM]);
+        s = data[i];
+        cs = 0;
+      }
+    }
+    send_code(bw, hcode[s], cs, hcode[iM]);
+    n_bits = bw.bits_written;
+    bw.flush();
+  }
+
+  int32_t huf_len = (int32_t)(20 + table_bytes.size() + data_bytes.size());
+  size_t payload = 4 + (min_nz <= max_nz ? max_nz - min_nz + 1 : 0) + 4 +
+                   (size_t)huf_len;
+  uint8_t* buf = (uint8_t*)malloc(payload);
+  if (!buf) return -1;
+  uint8_t* q = buf;
+  uint16_t mn = (uint16_t)min_nz, mx = (uint16_t)max_nz;
+  memcpy(q, &mn, 2);
+  memcpy(q + 2, &mx, 2);
+  q += 4;
+  if (min_nz <= max_nz) {
+    memcpy(q, bitmap.data() + min_nz, max_nz - min_nz + 1);
+    q += max_nz - min_nz + 1;
+  }
+  memcpy(q, &huf_len, 4);
+  q += 4;
+  uint32_t h_im = (uint32_t)im, h_iM = (uint32_t)iM;
+  uint32_t h_tl = (uint32_t)table_bytes.size();
+  uint32_t h_nb = (uint32_t)n_bits, h_room = 0;
+  memcpy(q, &h_im, 4);
+  memcpy(q + 4, &h_iM, 4);
+  memcpy(q + 8, &h_tl, 4);
+  memcpy(q + 12, &h_nb, 4);
+  memcpy(q + 16, &h_room, 4);
+  q += 20;
+  memcpy(q, table_bytes.data(), table_bytes.size());
+  q += table_bytes.size();
+  memcpy(q, data_bytes.data(), data_bytes.size());
+  *out = buf;
+  return (int64_t)payload;
+}

@@ -9,10 +9,12 @@ EXR assets: ground-truth envmaps (``envmaps/*.exr``, consumed by
 OpenEXR 2.0 needed for those files:
 
 - single-part scanline images,
-- NO_COMPRESSION / ZIPS / ZIP compression (zlib + EXR byte predictor),
+- NO_COMPRESSION / ZIPS / ZIP (zlib + EXR byte predictor) and PIZ
+  (wavelet + Huffman, via the native codec in ``native/robir_native.cpp``),
 - HALF / FLOAT / UINT channels, increasing-Y line order.
 
-Writer emits ZIP-compressed FLOAT RGB(A) — readable by standard tools.
+Writer emits ZIP-compressed FLOAT RGB(A) by default, or PIZ-compressed
+HALF with ``compression="piz"`` — both readable by standard tools.
 """
 
 from __future__ import annotations
@@ -103,6 +105,33 @@ def _piz_uncompress(data: bytes, n_channels: int, width: int,
     return out
 
 
+def _piz_compress(planar_u16: np.ndarray) -> bytes:
+    """Encode one PIZ chunk from u16 planar [n_channels, rows, width]
+    (HALF bit patterns) via the native encoder."""
+    import ctypes
+
+    from ..texture.native import _load
+
+    lib = _load()
+    if not hasattr(lib.piz_compress, "_configured"):
+        lib.piz_compress.restype = ctypes.c_int64
+        lib.piz_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p)]
+        lib.piz_compress._configured = True
+    c, rows, width = planar_u16.shape
+    src = np.ascontiguousarray(planar_u16).ravel()
+    outp = ctypes.c_void_p()
+    sz = lib.piz_compress(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        c, width, rows, ctypes.byref(outp))
+    if sz <= 0:
+        raise ValueError(f"PIZ encode failed rc={sz}")
+    out = ctypes.string_at(outp.value, sz)
+    lib.free_buffer(outp)
+    return out
+
+
 def read_exr(path: str) -> np.ndarray:
     """Read an EXR image as float32 [H, W, C]. Channels ordered R, G, B(, A)
     when present, otherwise alphabetically."""
@@ -145,7 +174,7 @@ def read_exr(path: str) -> np.ndarray:
         rows = min(lines_per_chunk, y1 - y + 1)
         raw_size = per_line * rows
         row0 = y - y0
-        if compression == _PIZ:
+        if compression == _PIZ and packed < raw_size:
             if any(pt != _PT_HALF for _, pt in chans):
                 raise NotImplementedError("PIZ with non-HALF channels")
             planar = _piz_uncompress(data, len(chans), W, rows)
@@ -170,26 +199,35 @@ def read_exr(path: str) -> np.ndarray:
     return np.stack([out[n] for n in order], axis=-1)
 
 
-def write_exr(path: str, img: np.ndarray) -> None:
-    """Write float32 [H, W, C] (C in {1,3,4}) as ZIP-compressed FLOAT EXR."""
+def write_exr(path: str, img: np.ndarray, compression: str = "zip") -> None:
+    """Write float32 [H, W, C] (C in {1,3,4}) as an EXR.
+
+    ``compression``: "zip" (FLOAT channels, zlib + predictor, 16-line
+    chunks), "piz" (HALF channels, wavelet + Huffman via the native codec,
+    32-line chunks — OpenEXR's default for film assets), or "none"
+    (FLOAT, uncompressed).
+    """
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
     H, W, C = img.shape
     names = {1: ["Y"], 3: ["R", "G", "B"], 4: ["R", "G", "B", "A"]}[C]
     chan_order = sorted(names)  # EXR stores channels alphabetically
+    comp_id = {"zip": _ZIP, "piz": _PIZ, "none": _NO_COMPRESSION}[compression]
+    ptype = _PT_HALF if comp_id == _PIZ else _PT_FLOAT
+    lines = _LINES_PER_CHUNK[comp_id]
 
     def attr(name: str, typ: str, val: bytes) -> bytes:
         return name.encode() + b"\x00" + typ.encode() + b"\x00" + struct.pack("<i", len(val)) + val
 
     chlist = b""
     for n in chan_order:
-        chlist += n.encode() + b"\x00" + struct.pack("<i4xii", _PT_FLOAT, 1, 1)
+        chlist += n.encode() + b"\x00" + struct.pack("<i4xii", ptype, 1, 1)
     chlist += b"\x00"
 
     header = struct.pack("<iI", _MAGIC, 2)
     header += attr("channels", "chlist", chlist)
-    header += attr("compression", "compression", bytes([_ZIP]))
+    header += attr("compression", "compression", bytes([comp_id]))
     header += attr("dataWindow", "box2i", struct.pack("<4i", 0, 0, W - 1, H - 1))
     header += attr("displayWindow", "box2i", struct.pack("<4i", 0, 0, W - 1, H - 1))
     header += attr("lineOrder", "lineOrder", b"\x00")
@@ -199,18 +237,30 @@ def write_exr(path: str, img: np.ndarray) -> None:
     header += b"\x00"
 
     by_name = {n: img[..., i] for i, n in enumerate(names)}
-    n_chunks = (H + 15) // 16
+    n_chunks = (H + lines - 1) // lines
     chunks = []
     for ci in range(n_chunks):
-        r0, r1 = ci * 16, min(ci * 16 + 16, H)
-        raw = b"".join(
-            by_name[n][r].astype("<f4").tobytes()
-            for r in range(r0, r1)
-            for n in chan_order
-        )
-        comp = zlib.compress(_predictor_encode(raw))
-        if len(comp) >= len(raw):
-            comp = raw
+        r0, r1 = ci * lines, min(ci * lines + lines, H)
+        if comp_id == _PIZ:
+            planar = np.stack([by_name[n][r0:r1].astype("<f2").view(np.uint16)
+                               for n in chan_order])
+            raw = b"".join(by_name[n][r].astype("<f2").tobytes()
+                           for r in range(r0, r1) for n in chan_order)
+            comp = _piz_compress(planar)
+            if len(comp) >= len(raw):  # incompressible chunk -> stored raw
+                comp = raw
+        else:
+            raw = b"".join(
+                by_name[n][r].astype("<f4").tobytes()
+                for r in range(r0, r1)
+                for n in chan_order
+            )
+            if comp_id == _ZIP:
+                comp = zlib.compress(_predictor_encode(raw))
+                if len(comp) >= len(raw):
+                    comp = raw
+            else:
+                comp = raw
         chunks.append((r0, comp))
 
     table_off = len(header) + 8 * n_chunks

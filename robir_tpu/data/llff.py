@@ -72,6 +72,62 @@ def spiral_path(poses, bds, focal_scale: float = 1.0, n_frames: int = 120,
     return np.stack(render_poses).astype(np.float32)
 
 
+def spherify_poses(poses, bds, n_frames: int = 120):
+    """Full spherified-pose resampling for inward-facing captures
+    (mip_dateset.py:431-489): recenter on the least-squares point nearest
+    all optical axes, rescale to unit mean camera radius, and emit a
+    circular render path at the mean camera height.
+
+    Returns (poses [N,3,4], render_poses [n_frames,3,4], bds)."""
+    def pad4(p):
+        bottom = np.broadcast_to([0, 0, 0, 1.0], p[..., :1, :4].shape)
+        return np.concatenate([p[..., :3, :4], bottom], -2)
+
+    rays_d = poses[:, :3, 2:3]
+    rays_o = poses[:, :3, 3:4]
+    # point minimizing distance to all camera optical axes
+    a = np.eye(3) - rays_d @ np.transpose(rays_d, (0, 2, 1))
+    b = -a @ rays_o
+    # pinv: forward-facing captures make this singular (parallel axes)
+    pt_mindist = np.squeeze(-np.linalg.pinv(
+        (np.transpose(a, (0, 2, 1)) @ a).mean(0)) @ b.mean(0))
+
+    center = pt_mindist
+    up = (poses[:, :3, 3] - center).mean(0)
+    if np.linalg.norm(up) < 1e-8:
+        raise ValueError(
+            "spherify_poses: degenerate capture (cameras have no common "
+            "attention point — is this a forward-facing scene? use "
+            "spherify=False)")
+    vec0 = _normalize(up)
+    vec1 = _normalize(np.cross([0.1, 0.2, 0.3], vec0))
+    vec2 = _normalize(np.cross(vec0, vec1))
+    c2w = np.stack([vec1, vec2, vec0, center], 1)
+
+    poses_reset = (np.linalg.inv(pad4(c2w[None])) @
+                   pad4(poses[:, :3, :4]))[:, :3, :4]
+    rad = np.sqrt(np.mean(np.sum(poses_reset[:, :3, 3] ** 2, -1)))
+    sc = 1.0 / rad
+    poses_reset[:, :3, 3] *= sc
+    bds = bds * sc
+
+    centroid = poses_reset[:, :3, 3].mean(0)
+    zh = centroid[2]
+    radcircle = np.sqrt(max(1.0 - zh * zh, 1e-6))
+    render_poses = []
+    for th in np.linspace(0.0, 2.0 * np.pi, n_frames, endpoint=False):
+        campos = np.array([radcircle * np.cos(th),
+                           radcircle * np.sin(th), zh])
+        back = _normalize(campos)                 # camera z points away
+        upv = np.array([0.0, 0.0, -1.0])
+        right = _normalize(np.cross(upv, back))
+        true_up = _normalize(np.cross(back, right))
+        render_poses.append(np.stack([right, true_up, back, campos], 1))
+    return (poses_reset.astype(np.float32),
+            np.stack(render_poses).astype(np.float32),
+            bds)
+
+
 def convert_to_ndc(origins, directions, focal, w, h, near: float = 1.0):
     """Shift rays to the near plane and map to NDC (mip_render convention)."""
     t = -(near + origins[..., 2]) / directions[..., 2]
@@ -133,6 +189,9 @@ class LLFFScene:
         poses[:, :3, 3] *= scale
         bds = bds * scale
         poses = recenter_poses(poses.astype(np.float32))
+        if cfg.spherify:
+            p34, sph_render, bds = spherify_poses(poses[:, :3, :4], bds)
+            poses = np.concatenate([p34, poses[:, :3, 4:5]], 2)
 
         i_test = np.arange(len(images))[::cfg.llffhold]
         i_train = np.array([i for i in range(len(images)) if i not in i_test])
@@ -144,7 +203,8 @@ class LLFFScene:
         self.focal = float(poses[0, 2, 4])
         self.h, self.w = images.shape[1:3]
         self.n_images = len(idx)
-        self.render_poses = spiral_path(poses, bds) if not cfg.spherify else None
+        self.render_poses = (sph_render if cfg.spherify
+                             else spiral_path(poses, bds))
 
         rays = generate_rays(self.h, self.w, self.focal,
                              self.poses[:, :3, :4], 0.0, 1.0)

@@ -119,3 +119,88 @@ def test_multicam_loader(tmp_path):
     assert r0.origins.shape[0] == 16 * 20
     # origins at the camera centers
     np.testing.assert_allclose(r0.origins[0], [0, 0, 2.0], atol=1e-6)
+
+
+def test_spherify_poses_properties():
+    """Inward-facing cameras on a sphere around an off-origin point:
+    after spherification the attention point is the origin, camera radii
+    are ~1, and the render path circles at the camera centroid height."""
+    from robir_tpu.data.llff import spherify_poses
+    rng = np.random.default_rng(6)
+    target = np.array([2.0, -1.0, 0.5])
+    poses = []
+    for _ in range(12):
+        d = rng.standard_normal(3)
+        d /= np.linalg.norm(d)
+        eye = target + 4.0 * d
+        back = (eye - target) / 4.0          # camera z away from target
+        right = np.cross([0, 0, 1.0], back)
+        right /= np.linalg.norm(right)
+        up = np.cross(back, right)
+        poses.append(np.stack([right, up, back, eye], 1))
+    poses = np.asarray(poses, np.float32)
+    bds = np.array([[2.0, 8.0]] * 12)
+
+    out, render, new_bds = spherify_poses(poses, bds, n_frames=30)
+    assert out.shape == (12, 3, 4) and render.shape == (30, 3, 4)
+    # camera distances normalized to ~1
+    r = np.linalg.norm(out[:, :3, 3], axis=-1)
+    np.testing.assert_allclose(r, 1.0, atol=1e-4)
+    # optical axes still pass near the (new) origin
+    o = out[:, :3, 3]
+    z = out[:, :3, 2]
+    closest = o - np.sum(o * z, -1, keepdims=True) * z
+    assert np.linalg.norm(closest, axis=-1).max() < 1e-3
+    # render cameras look at the origin too
+    ro = render[:, :3, 3]
+    rz = render[:, :3, 2]
+    cos = np.sum(-rz * (-ro), -1) / np.linalg.norm(ro, axis=-1)
+    assert cos.min() > 0.999
+    # bounds rescaled by the same factor
+    assert new_bds.shape == bds.shape and new_bds[0, 0] < bds[0, 0]
+
+
+def _make_inward_llff_scene(tmp_path, n=12, h=32, w=40):
+    from PIL import Image
+    rng = np.random.default_rng(9)
+    os.makedirs(tmp_path / "images", exist_ok=True)
+    target = np.array([1.0, 0.5, -0.3])
+    rows = []
+    for i in range(n):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "images" / f"{i:03d}.png")
+        th, ph = 2 * np.pi * i / n, 0.3 + 0.4 * rng.random()
+        eye = target + 5.0 * np.array([np.cos(th) * np.cos(ph),
+                                       np.sin(th) * np.cos(ph), np.sin(ph)])
+        back = (eye - target) / np.linalg.norm(eye - target)
+        right = np.cross([0, 0, 1.0], back)
+        right /= np.linalg.norm(right)
+        up = np.cross(back, right)
+        m = np.stack([-up, right, back], 1)  # raw LLFF [down right back]
+        pose = np.concatenate(
+            [m, eye[:, None], np.array([[h], [w], [50.0]])], 1)
+        rows.append(np.concatenate([pose.ravel(), [2.0, 9.0]]))
+    np.save(tmp_path / "poses_bounds.npy", np.stack(rows))
+
+
+def test_llff_spherify_loader(tmp_path):
+    """spherify=True path through the loader: circular render path, unit
+    camera radii, metric (non-NDC) rays, near/far from scaled bounds."""
+    _make_inward_llff_scene(tmp_path)
+    from robir_tpu.data.llff import LLFFConfig, LLFFScene
+    sc = LLFFScene(LLFFConfig(data_dir=str(tmp_path), spherify=True), "train")
+    assert sc.render_poses.shape == (120, 3, 4)
+    r = np.linalg.norm(sc.poses[:, :3, 3], axis=-1)
+    np.testing.assert_allclose(r, 1.0, atol=1e-4)
+    b = sc.sample(np.random.default_rng(0), 16)
+    assert np.isfinite(b.origins).all()
+    assert float(b.near.min()) > 0
+
+
+def test_llff_spherify_rejects_forward_facing(tmp_path):
+    """Forward-facing capture + spherify is a config error — must raise a
+    clear ValueError instead of emitting NaN poses."""
+    _make_llff_scene(tmp_path)
+    from robir_tpu.data.llff import LLFFConfig, LLFFScene
+    with pytest.raises(ValueError, match="forward-facing"):
+        LLFFScene(LLFFConfig(data_dir=str(tmp_path), spherify=True), "train")

@@ -394,6 +394,7 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
                    diffuse_vis: Optional[jnp.ndarray] = None,
                    prefit: Optional[str] = None,
                    argmax_vis: bool = False,
+                   fun_spec: bool = False,
                    diffuse_nsamp: int = 32, diffuse_vis_nsamp: int = 8,
                    specular_nsamp: int = 8) -> SGRenderOutput:
     """Full SG shading for one light set. Parity: sg_render.py:343-565.
@@ -401,6 +402,10 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
     points/normal/viewdirs: [N, 3]; lgt_sgs: [N, M, 7] or [M, 7];
     roughness: [N, 1]; diffuse_albedo: [N, 3]; specular_reflectance: [1, 1]
     or [1, 3]; diffuse_vis (CESR): [N, M] per-light softmax visibility.
+
+    ``fun_spec=True`` returns ``sg_specular_rgb`` as a callable
+    ``fn(roughness) -> rgb`` (and ``sg_rgb`` carries diffuse only);
+    ``viewdirs`` of shape [V, N, 3] shades specular per view.
     """
     N = points.shape[0]
     if lgt_sgs.ndim == 2:
@@ -442,31 +447,36 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
             jnp.sum(origin_mus, axis=1), 1e-4, None)
         vis_shadow = jax.lax.stop_gradient(vis_shadow)
 
-    # specular
-    warp_lobes, warp_lambdas, warp_mus = specular_sg(
-        normal, viewdirs, roughness, spec_refl[:, None, :][:, 0, :],
-        metallic=metallic, diffuse_albedo=diffuse_albedo)
+    # specular — factored as a roughness-parameterized closure so callers
+    # can re-evaluate the specular term under a new roughness map without
+    # recomputing diffuse/visibility state (the reference's ``fun_spec``,
+    # sg_render.py:414,544-551). ``viewdirs`` may also be [V, N, 3] for
+    # texture-space multi-view shading (MULTI_VIEW, sg_render.py:356,465),
+    # in which case the specular branch vmaps over the view axis while the
+    # view-independent diffuse term is shared.
+    k_spec, key = jax.random.split(key)
+    multi_view = viewdirs.ndim == 3
 
-    if comp_vis:
-        k_spec, key = jax.random.split(key)
-        brdf_vis = get_specular_visibility(
-            k_spec, points, normal, viewdirs, vis_fn,
-            warp_lobes, warp_lambdas[:, 0], nsamp=specular_nsamp,
-            inv=False, argmax_vis=argmax_vis)  # [N]
-        lgt_mus_spec = origin_mus * brdf_vis[:, None, None]
-    elif vis_fn is not None:
-        k_spec, key = jax.random.split(key)
-        brdf_vis = get_specular_visibility(
-            k_spec, points, normal, viewdirs, vis_fn,
-            warp_lobes, warp_lambdas[:, 0], nsamp=specular_nsamp,
-            inv=True, argmax_vis=argmax_vis)
-        lgt_mus_spec = origin_mus * brdf_vis[:, None, None]
-    else:
-        lgt_mus_spec = origin_mus
+    def spec_fn(rough: jnp.ndarray) -> jnp.ndarray:
+        def one_view(vd):
+            warp_lobes, warp_lambdas, warp_mus = specular_sg(
+                normal, vd, rough, spec_refl[:, None, :][:, 0, :],
+                metallic=metallic, diffuse_albedo=diffuse_albedo)
+            if comp_vis or vis_fn is not None:
+                brdf_vis = get_specular_visibility(
+                    k_spec, points, normal, vd, vis_fn,
+                    warp_lobes, warp_lambdas[:, 0], nsamp=specular_nsamp,
+                    inv=not comp_vis, argmax_vis=argmax_vis)  # [N]
+                lgt_mus_spec = origin_mus * brdf_vis[:, None, None]
+            else:
+                lgt_mus_spec = origin_mus
+            return shade_with_sg_lights(
+                normal, lgt_lobes, lgt_lambdas, lgt_mus_spec,
+                warp_lobes, warp_lambdas, warp_mus)
 
-    specular_rgb = shade_with_sg_lights(
-        normal, lgt_lobes, lgt_lambdas, lgt_mus_spec,
-        warp_lobes, warp_lambdas, warp_mus)
+        if multi_view:
+            return jax.vmap(one_view)(viewdirs)
+        return one_view(viewdirs)
 
     # diffuse
     lgt_mus_diff = origin_mus * light_vis if comp_vis else origin_mus
@@ -476,7 +486,13 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
 
     if indir_integral is not None:
         diffuse_rgb = indir_integral if lin_diff else indir_integral * diffuse
-    rgb = specular_rgb + diffuse_rgb
+
+    if fun_spec:
+        # parity: sg_rgb carries diffuse only; specular is the closure
+        return SGRenderOutput(diffuse_rgb, spec_fn, diffuse_rgb, vis_shadow,
+                              supervise)
+    specular_rgb = spec_fn(roughness)
+    rgb = specular_rgb + diffuse_rgb  # multi-view: [V, N, 3] + [N, 3]
     return SGRenderOutput(rgb, specular_rgb, diffuse_rgb, vis_shadow, supervise)
 
 
@@ -495,26 +511,28 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
                        specular_reflectance, roughness, diffuse_albedo, *,
                        indir_integral=None, indir_lgt_sgs=None, vis_fn=None,
                        lin_diff=False, metallic=None, diffuse_vis=None,
-                       prefit=None, argmax_vis=False) -> AllSGOutput:
+                       prefit=None, argmax_vis=False,
+                       fun_spec=False) -> AllSGOutput:
     """Direct (visibility-attenuated) + indirect SG shading.
-    Parity: sg_render.py:304-337."""
+    Parity: sg_render.py:304-337. With ``fun_spec`` both specular fields
+    are roughness-parameterized callables."""
     k1, k2 = jax.random.split(key)
     direct = render_with_sg(
         k1, points, normal, viewdirs, lgt_sgs, specular_reflectance,
         roughness, diffuse_albedo, comp_vis=True, vis_fn=vis_fn,
         lin_diff=lin_diff, metallic=metallic, diffuse_vis=diffuse_vis,
-        prefit=prefit, argmax_vis=argmax_vis)
+        prefit=prefit, argmax_vis=argmax_vis, fun_spec=fun_spec)
 
     if indir_lgt_sgs is not None:
         indirect = render_with_sg(
             k2, points, normal, viewdirs, indir_lgt_sgs, specular_reflectance,
             roughness, diffuse_albedo, comp_vis=False, vis_fn=vis_fn,
             lin_diff=lin_diff, indir_integral=indir_integral,
-            metallic=metallic, argmax_vis=argmax_vis)
+            metallic=metallic, argmax_vis=argmax_vis, fun_spec=fun_spec)
         indir = (indirect.sg_rgb, indirect.sg_diffuse_rgb, indirect.sg_specular_rgb)
     else:
         z = jnp.zeros_like(points)
-        indir = (z, z, z)
+        indir = (z, z, (lambda rough: z) if fun_spec else z)
     return AllSGOutput(direct.sg_rgb, direct.sg_specular_rgb,
                        direct.sg_diffuse_rgb, direct.vis_shadow,
                        direct.supervise, indir[0], indir[1], indir[2])

@@ -230,3 +230,74 @@ def test_render_with_sg_full_parity():
     # differ between frameworks for grazing normals
     np.testing.assert_allclose(np.asarray(got.vis_shadow),
                                want["vis_shadow"].detach().numpy(), atol=0.06)
+
+
+def _shade_inputs(seed=21, n=12, m=8):
+    rng = np.random.default_rng(seed)
+    points = rng.standard_normal((n, 3)).astype(np.float32) * 0.3
+    normal = rng.standard_normal((n, 3)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    viewdirs = rng.standard_normal((n, 3)).astype(np.float32)
+    viewdirs /= np.linalg.norm(viewdirs, axis=-1, keepdims=True)
+    lgt = random_sgs(rng, m)
+    lgt[:, 3] = np.abs(lgt[:, 3]) * 20 + 10
+    roughness = (rng.random((n, 1)) * 0.8 + 0.15).astype(np.float32)
+    albedo = rng.random((n, 3)).astype(np.float32)
+    spec = np.full((1, 1), 0.05, np.float32)
+    return points, normal, viewdirs, lgt, roughness, albedo, spec
+
+
+def _const_vis(p, d):
+    return jnp.stack([jnp.zeros(p.shape[:-1]), jnp.full(p.shape[:-1], 50.0)], -1)
+
+
+def test_fun_spec_closure_matches_inline():
+    """fun_spec returns the specular term as fn(roughness); evaluating at the
+    original roughness must reproduce the inline render, and at a different
+    roughness must change (sharper lobes -> different specular)."""
+    points, normal, viewdirs, lgt, roughness, albedo, spec = _shade_inputs()
+    args = (jax.random.PRNGKey(3), jnp.asarray(points), jnp.asarray(normal),
+            jnp.asarray(viewdirs), jnp.asarray(lgt), jnp.asarray(spec),
+            jnp.asarray(roughness), jnp.asarray(albedo))
+    kw = dict(vis_fn=_const_vis, argmax_vis=True)
+    inline = sg.render_with_sg(*args, **kw)
+    lazy = sg.render_with_sg(*args, fun_spec=True, **kw)
+    assert callable(lazy.sg_specular_rgb)
+    # sg_rgb carries diffuse only in fun_spec mode (reference convention)
+    np.testing.assert_allclose(np.asarray(lazy.sg_rgb),
+                               np.asarray(inline.sg_diffuse_rgb), rtol=1e-6)
+    re_spec = lazy.sg_specular_rgb(jnp.asarray(roughness))
+    np.testing.assert_allclose(np.asarray(re_spec),
+                               np.asarray(inline.sg_specular_rgb), rtol=1e-6)
+    shinier = lazy.sg_specular_rgb(jnp.asarray(roughness) * 0.5)
+    assert np.abs(np.asarray(shinier) - np.asarray(re_spec)).max() > 1e-4
+    # differentiable in roughness (the point of the closure)
+    g = jax.grad(lambda r: jnp.sum(lazy.sg_specular_rgb(r)))(
+        jnp.asarray(roughness))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_multi_view_specular_matches_per_view():
+    """viewdirs [V, N, 3]: per-view specular must equal V independent
+    single-view renders; diffuse is shared (view-independent)."""
+    points, normal, _, lgt, roughness, albedo, spec = _shade_inputs()
+    rng = np.random.default_rng(5)
+    V, n = 3, points.shape[0]
+    vds = rng.standard_normal((V, n, 3)).astype(np.float32)
+    vds /= np.linalg.norm(vds, axis=-1, keepdims=True)
+    key = jax.random.PRNGKey(9)
+    kw = dict(vis_fn=_const_vis, argmax_vis=True)
+    multi = sg.render_with_sg(
+        key, jnp.asarray(points), jnp.asarray(normal), jnp.asarray(vds),
+        jnp.asarray(lgt), jnp.asarray(spec), jnp.asarray(roughness),
+        jnp.asarray(albedo), **kw)
+    assert multi.sg_specular_rgb.shape == (V, n, 3)
+    assert multi.sg_diffuse_rgb.shape == (n, 3)
+    for v in range(V):
+        single = sg.render_with_sg(
+            key, jnp.asarray(points), jnp.asarray(normal),
+            jnp.asarray(vds[v]), jnp.asarray(lgt), jnp.asarray(spec),
+            jnp.asarray(roughness), jnp.asarray(albedo), **kw)
+        np.testing.assert_allclose(np.asarray(multi.sg_specular_rgb[v]),
+                                   np.asarray(single.sg_specular_rgb),
+                                   rtol=2e-5, atol=1e-6)

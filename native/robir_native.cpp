@@ -398,28 +398,38 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
     total_area += (r.w + 1e-6f) * (r.h + 1e-6f);
     rects.push_back(r);
   }
-  float atlas_w = std::sqrt(total_area) * 1.25f + 1e-6f;
   std::sort(rects.begin(), rects.end(),
             [](const Rect& a, const Rect& b) { return a.h > b.h; });
 
-  float pad_world = atlas_w * 0.02f;  // inter-chart gap against bleeding
-  float cx = 0, cy = 0, row_h = 0, used_w = atlas_w, max_y = 0;
-  for (auto& r : rects) {
-    if (cx + r.w > atlas_w && cx > 0) {
-      cx = 0;
-      cy += row_h + pad_world;
-      row_h = 0;
+  // Shelf packing with pixel-accurate inter-chart padding. The final
+  // world->UV scale is ~1/atlas_w, so a padding_px gap in texels is
+  // pad_frac * atlas_w in world units. Repack a few times, squaring the
+  // aspect, so the unit square is filled in both dimensions.
+  float atlas_w = std::sqrt(total_area) * 1.05f + 1e-6f;
+  float max_x = 0, max_y = 0;
+  for (int iter = 0; iter < 4; iter++) {
+    const float pad_world = 2.f * pad_frac * atlas_w;
+    float cx = 0, cy = 0, row_h = 0;
+    max_x = 0;
+    max_y = 0;
+    for (auto& r : rects) {
+      if (cx + r.w > atlas_w && cx > 0) {
+        cx = 0;
+        cy += row_h + pad_world;
+        row_h = 0;
+      }
+      r.x = cx;
+      r.y = cy;
+      cx += r.w + pad_world;
+      row_h = std::max(row_h, r.h);
+      max_x = std::max(max_x, r.x + r.w);
+      max_y = std::max(max_y, cy + r.h);
     }
-    r.x = cx;
-    r.y = cy;
-    cx += r.w + pad_world;
-    row_h = std::max(row_h, r.h);
-    max_y = std::max(max_y, cy + r.h);
+    float aspect = max_y / std::max(max_x, 1e-20f);
+    if (aspect > 0.92f && aspect < 1.09f) break;
+    atlas_w *= std::sqrt(aspect);
   }
-  (void)used_w;
-  float scale_x = 1.f / std::max(atlas_w, 1e-20f);
-  float scale_y = 1.f / std::max(max_y, 1e-20f);
-  float s = std::min(scale_x, scale_y);
+  float s = 1.f / std::max(std::max(max_x, max_y), 1e-20f);
   // leave padding_px margin around each chart by shrinking into [pad, 1-pad]
   float margin = pad_frac;
   float span = 1.f - 2.f * margin;

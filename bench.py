@@ -161,5 +161,40 @@ def main_neus():
     }))
 
 
+def _run_with_retries(max_tries: int = 3, timeout_s: int = 900) -> int:
+    """Run the bench in a child process, retrying on hang/crash.
+
+    The tunneled TPU link intermittently stalls for minutes or drops the
+    backend entirely; a single in-process run would hang the whole round's
+    benchmark. The child does the real work (ROBIR_BENCH_CHILD=1); the
+    parent enforces a deadline and forwards the child's final JSON line.
+    """
+    import subprocess
+
+    env = dict(os.environ, ROBIR_BENCH_CHILD="1")
+    last_err = ""
+    for attempt in range(max_tries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=timeout_s, env=env)
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt + 1}: timed out after {timeout_s}s"
+            print(last_err, file=sys.stderr, flush=True)
+            continue
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1], flush=True)
+            return 0
+        last_err = (f"attempt {attempt + 1}: rc={proc.returncode} "
+                    f"stderr tail: {proc.stderr[-500:]}")
+        print(last_err, file=sys.stderr, flush=True)
+    print(f"bench failed after {max_tries} attempts: {last_err}",
+          file=sys.stderr, flush=True)
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if os.environ.get("ROBIR_BENCH_CHILD"):
+        sys.exit(main())
+    sys.exit(_run_with_retries())

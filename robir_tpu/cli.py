@@ -34,6 +34,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    help="dotted config override, e.g. --set model.grid.resolution=128")
     p.add_argument("--is_continue", action="store_true")
+    p.add_argument("--plot_freq", type=int, default=0,
+                   help="render the stage's diagnostic grid every N iters "
+                        "(0 = only once, after training)")
+    p.add_argument("--no_plot", action="store_true",
+                   help="skip diagnostic plots entirely")
 
 
 def _load(args):
@@ -73,7 +78,30 @@ def _stage2_setup(args, cfg_dict):
     return cfg, dataset, params
 
 
-def _run_stage(runner, args, stage_cfg_iters, log_name):
+_STAGE_PLOTTERS = {
+    "Norm": "robir_tpu.stages.norm:norm_plot_to_disk",
+    "Vis": "robir_tpu.stages.vis:vis_plot_to_disk",
+    "PBR": "robir_tpu.stages.pbr:pbr_plot_to_disk",
+    "CESR": "robir_tpu.stages.cesr:cesr_plot_to_disk",
+}
+
+
+def _plot_stage(runner, dataset, log_name):
+    """Render the stage's diagnostic grid (the reference plots every
+    train.plot_freq iters; e.g. train_pbr.py:435)."""
+    import importlib
+    if dataset is None:
+        return
+    mod_name, fn_name = _STAGE_PLOTTERS[log_name].split(":")
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    try:
+        out = fn(runner, dataset)
+        print(f"[{log_name}] plot -> {out}", flush=True)
+    except Exception as e:  # plots are diagnostics; never kill training
+        print(f"[{log_name}] plot failed: {e}", flush=True)
+
+
+def _run_stage(runner, args, stage_cfg_iters, log_name, dataset=None):
     if args.is_continue:
         runner.restore_latest()
     if runner.grid_values is None:
@@ -84,7 +112,18 @@ def _run_stage(runner, args, stage_cfg_iters, log_name):
         line = ", ".join(f"{k}={v:.5g}" for k, v in m.items())
         print(f"[{log_name}] iter {it}: {line}", flush=True)
 
-    runner.run(n, log_every=50, log_fn=log)
+    plot_freq = 0 if args.no_plot else args.plot_freq
+    if plot_freq > 0:
+        done = 0
+        while done < n:
+            step = min(plot_freq, n - done)
+            runner.run(step, log_every=50, log_fn=log)
+            done += step
+            _plot_stage(runner, dataset, log_name)
+    else:
+        runner.run(n, log_every=50, log_fn=log)
+        if not args.no_plot:
+            _plot_stage(runner, dataset, log_name)
     path = runner.save()
     print(f"[{log_name}] saved {path}")
 
@@ -156,7 +195,7 @@ def cmd_norm(args):
     fs = focus_sampler_from_dataset(dataset)
     trace = jax.jit(lambda o, d: grid_cast(runner.grid_values, cfg.grid, o, d))
     runner.sampler = TexSpaceSampler(ts, fs, trace)
-    _run_stage(runner, args, stage_cfg.max_iters, "Norm")
+    _run_stage(runner, args, stage_cfg.max_iters, "Norm", dataset=dataset)
 
 
 def cmd_vis(args):
@@ -169,7 +208,7 @@ def cmd_vis(args):
                        log_dir=args.log_dir, seed=args.seed)
     runner.bake_grid()
     runner.fit_energy_prologue()
-    _run_stage(runner, args, stage_cfg.max_iters, "Vis")
+    _run_stage(runner, args, stage_cfg.max_iters, "Vis", dataset=dataset)
 
 
 def cmd_pbr(args):
@@ -190,7 +229,7 @@ def cmd_pbr(args):
         runner.load_vis_checkpoint(vis_ckpt)
     else:
         raise SystemExit("[PBR] missing Vis checkpoint; train Vis first")
-    _run_stage(runner, args, stage_cfg.max_iters, "PBR")
+    _run_stage(runner, args, stage_cfg.max_iters, "PBR", dataset=dataset)
 
 
 def cmd_cesr(args):
@@ -205,7 +244,7 @@ def cmd_cesr(args):
     if not os.path.exists(pbr_ckpt):
         raise SystemExit("[CESR] missing PBR checkpoint; train PBR first")
     runner.load_pbr_checkpoint(pbr_ckpt)
-    _run_stage(runner, args, stage_cfg.max_iters, "CESR")
+    _run_stage(runner, args, stage_cfg.max_iters, "CESR", dataset=dataset)
 
 
 def cmd_relight(args):

@@ -64,3 +64,51 @@ def test_cli_parser_smoke():
         cli.main(["--help"])
     with pytest.raises(SystemExit):
         cli.main([])  # missing subcommand
+
+
+def test_run_stage_plot_scheduling(monkeypatch, tmp_path):
+    """--plot_freq N plots every N iters plus implicitly covers the tail;
+    default plots once at the end; --no_plot never plots."""
+    import argparse
+    from robir_tpu import cli
+
+    calls = []
+
+    class FakeRunner:
+        grid_values = object()  # skip bake
+        log_dir = str(tmp_path)
+        stage_name = "Vis"
+        cur_iter = 0
+
+        def run(self, n, log_every=0, log_fn=None):
+            self.cur_iter += n
+            return {}
+
+        def save(self):
+            return "ckpt"
+
+        def restore_latest(self):
+            return False
+
+    monkeypatch.setattr(cli, "_plot_stage",
+                        lambda runner, dataset, name: calls.append(runner.cur_iter))
+
+    def args(**kw):
+        base = dict(is_continue=False, n_iters=None, plot_freq=0,
+                    no_plot=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    r = FakeRunner()
+    cli._run_stage(r, args(plot_freq=4), 10, "Vis", dataset=object())
+    assert calls == [4, 8, 10]
+
+    calls.clear()
+    r = FakeRunner()
+    cli._run_stage(r, args(), 7, "Vis", dataset=object())
+    assert calls == [7]
+
+    calls.clear()
+    r = FakeRunner()
+    cli._run_stage(r, args(no_plot=True, plot_freq=3), 7, "Vis", dataset=object())
+    assert calls == []

@@ -199,11 +199,23 @@ def cmd_norm(args):
 
 
 def cmd_vis(args):
+    from .core import checkpoint as ckpt_lib
     from .stages.vis import VisRunner, VisStageConfig
     cfg_dict = _load(args)
     cfg, dataset, params = _stage2_setup(args, cfg_dict)
     from .core.config import build_stage_config
     stage_cfg = build_stage_config(VisStageConfig, cfg_dict.get("vis"))
+    # The Illum forward offsets secondary-ray origins along the AE normal
+    # map, so the Norm stage's trained decoder must be loaded first (the
+    # reference continues from the norm checkpoint, train_visibility.py:
+    # 116-123); a random decoder poisons the visibility labels.
+    norm_ckpt = os.path.join(args.log_dir, "Norm", "checkpoints", "latest.npz")
+    if os.path.exists(norm_ckpt):
+        params, _ = ckpt_lib.restore_into(
+            params, norm_ckpt, keep=lambda p: "normal_decoder_layer" in p)
+        print(f"[Vis] normal decoder from {norm_ckpt}")
+    else:
+        print("[Vis] warning: no Norm checkpoint; AE normals are untrained")
     runner = VisRunner(cfg, params, dataset, stage_cfg,
                        log_dir=args.log_dir, seed=args.seed)
     runner.bake_grid()

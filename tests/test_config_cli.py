@@ -1,6 +1,7 @@
 """Config system + CLI plumbing tests."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -112,3 +113,60 @@ def test_run_stage_plot_scheduling(monkeypatch, tmp_path):
     r = FakeRunner()
     cli._run_stage(r, args(no_plot=True, plot_freq=3), 7, "Vis", dataset=object())
     assert calls == []
+
+
+def test_cmd_vis_restores_norm_decoder(tmp_path, capsys):
+    """Regression: the vis command must restore the Norm stage's trained
+    normal decoder before training — the Illum forward offsets secondary
+    rays along the AE normal map, and a random decoder poisons the
+    visibility labels."""
+    import jax
+    import jax.numpy as jnp
+    from robir_tpu import cli
+    from robir_tpu.core import checkpoint as ckpt_lib
+    from robir_tpu.core.config import build_stage2_config, load_config
+    from robir_tpu.data.synthetic import make_sphere_dataset
+    from robir_tpu.stages.stage2_runner import init_stage2_params
+
+    scene = str(tmp_path / "scene")
+    make_sphere_dataset(scene, n_train=2, n_test=1, h=24, w=24)
+    log_dir = str(tmp_path / "logs")
+
+    # a 'Norm' checkpoint whose decoder leaves are distinctively offset
+    cfgd = load_config("configs/sphere_smoke.json")
+    cfg = build_stage2_config(cfgd["model"])
+    marked = init_stage2_params(jax.random.PRNGKey(9), cfg)
+    marked = jax.tree_util.tree_map(lambda x: x + 0.125, marked)
+    norm_dir = os.path.join(log_dir, "Norm", "checkpoints")
+    os.makedirs(norm_dir)
+    ckpt_lib.save(os.path.join(norm_dir, "latest.npz"), marked, step=1)
+
+    captured = {}
+    import robir_tpu.stages.vis as vis_mod
+
+    class SpyRunner:
+        def __init__(self, cfg, params, dataset, stage_cfg, log_dir=None,
+                     seed=0, mesh=None):
+            captured["params"] = params
+            raise RuntimeError("stop-after-capture")
+
+    orig = vis_mod.VisRunner
+    vis_mod.VisRunner = SpyRunner
+    try:
+        with pytest.raises(RuntimeError, match="stop-after-capture"):
+            cli.main(["vis", "--conf", "configs/sphere_smoke.json",
+                      "--data", scene, "--log_dir", log_dir, "--n_iters", "1"])
+    finally:
+        vis_mod.VisRunner = orig
+
+    got = captured["params"]["envmap_material_network"]["normal_decoder_layer"]
+    want = marked["envmap_material_network"]["normal_decoder_layer"]
+    flat_g = jax.tree_util.tree_leaves(got)
+    flat_w = jax.tree_util.tree_leaves(want)
+    assert all(np.allclose(g, w) for g, w in zip(flat_g, flat_w)), \
+        "normal decoder was not restored from the Norm checkpoint"
+    # and everything else must NOT come from the marked checkpoint
+    fresh = captured["params"]["visibility_network"]
+    markd = marked["visibility_network"]
+    assert not np.allclose(jax.tree_util.tree_leaves(fresh)[0],
+                           jax.tree_util.tree_leaves(markd)[0])

@@ -381,64 +381,120 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
     }
   }
 
-  // shelf packing: sort by height, place left-to-right in rows
-  struct Rect {
-    int chart;
-    float w, h;
-    float x = 0, y = 0;  // placement in world units
-  };
-  std::vector<Rect> rects;
-  float total_area = 0;
+  // Irregular-mask packing (xatlas-style): rasterize each chart into a
+  // coarse occupancy bitmask (per-face cell bboxes, dilated by the padding)
+  // and greedily bottom-left place the masks into a global bitset grid.
+  // Blob-shaped charts nest into each other's bounding boxes, which bbox
+  // shelf packing cannot do.
   const float pad_frac = (float)padding_px / (float)atlas_res;
-  for (int c = 0; c < n_charts; c++) {
-    Rect r;
-    r.chart = c;
-    r.w = charts[c].max_u - charts[c].min_u;
-    r.h = charts[c].max_v - charts[c].min_v;
-    total_area += (r.w + 1e-6f) * (r.h + 1e-6f);
-    rects.push_back(r);
-  }
-  std::sort(rects.begin(), rects.end(),
-            [](const Rect& a, const Rect& b) { return a.h > b.h; });
+  float total_area = 0;
+  for (auto& ch : charts)
+    total_area += (ch.max_u - ch.min_u + 1e-6f) * (ch.max_v - ch.min_v + 1e-6f);
 
-  // Shelf packing with pixel-accurate inter-chart padding. The final
-  // world->UV scale is ~1/atlas_w, so a padding_px gap in texels is
-  // pad_frac * atlas_w in world units. Repack a few times, squaring the
-  // aspect, so the unit square is filled in both dimensions.
-  float atlas_w = std::sqrt(total_area) * 1.05f + 1e-6f;
-  float max_x = 0, max_y = 0;
-  for (int iter = 0; iter < 4; iter++) {
-    const float pad_world = 2.f * pad_frac * atlas_w;
-    float cx = 0, cy = 0, row_h = 0;
-    max_x = 0;
-    max_y = 0;
-    for (auto& r : rects) {
-      if (cx + r.w > atlas_w && cx > 0) {
-        cx = 0;
-        cy += row_h + pad_world;
-        row_h = 0;
+  const int G = 512;  // occupancy grid resolution
+  const int W64 = G / 64;
+  float atlas_w = std::sqrt(total_area) * 1.08f + 1e-6f;
+
+  std::vector<float> chart_off_x(n_charts), chart_off_y(n_charts);
+  std::vector<int> order(n_charts);
+  for (int i = 0; i < n_charts; i++) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int a, int b) {
+    return (charts[a].max_v - charts[a].min_v) >
+           (charts[b].max_v - charts[b].min_v);
+  });
+
+  float used_x = 0, used_y = 0, cell = 0;
+  for (int attempt = 0; attempt < 6; attempt++) {
+    cell = atlas_w / G;
+    const int padc = std::max(1, (int)std::ceil(
+        pad_frac * (float)G));  // padding_px at the final scale, in cells
+    std::vector<uint64_t> grid((size_t)G * W64, 0);
+    std::vector<int> row_min_x(G, 0);  // bottom-left scan hint per row
+    bool all_placed = true;
+    used_x = used_y = 0;
+
+    for (int ci : order) {
+      Chart& ch = charts[ci];
+      int wc = (int)std::ceil((ch.max_u - ch.min_u) / cell) + 2 * padc;
+      int hc = (int)std::ceil((ch.max_v - ch.min_v) / cell) + 2 * padc;
+      if (wc > G || hc > G) { all_placed = false; break; }
+
+      // chart mask: per-face cell bboxes, expanded by padc (dilation)
+      std::vector<uint64_t> m((size_t)hc * W64, 0);
+      for (int f : ch.faces) {
+        float u0 = 1e30f, u1 = -1e30f, v0 = 1e30f, v1 = -1e30f;
+        for (int c = 0; c < 3; c++) {
+          const float* p = verts + 3 * tris[3 * f + c];
+          float u = p[0] * ch.axis_u[0] + p[1] * ch.axis_u[1] + p[2] * ch.axis_u[2];
+          float v = p[0] * ch.axis_v[0] + p[1] * ch.axis_v[1] + p[2] * ch.axis_v[2];
+          u0 = std::min(u0, u); u1 = std::max(u1, u);
+          v0 = std::min(v0, v); v1 = std::max(v1, v);
+        }
+        int cx0 = std::max(0, (int)((u0 - ch.min_u) / cell) - padc + padc);
+        int cx1 = std::min(wc - 1, (int)((u1 - ch.min_u) / cell) + 2 * padc);
+        int cy0 = std::max(0, (int)((v0 - ch.min_v) / cell) - padc + padc);
+        int cy1 = std::min(hc - 1, (int)((v1 - ch.min_v) / cell) + 2 * padc);
+        for (int y = cy0; y <= cy1; y++)
+          for (int x = cx0; x <= cx1; x++)
+            m[(size_t)y * W64 + (x >> 6)] |= (1ull << (x & 63));
       }
-      r.x = cx;
-      r.y = cy;
-      cx += r.w + pad_world;
-      row_h = std::max(row_h, r.h);
-      max_x = std::max(max_x, r.x + r.w);
-      max_y = std::max(max_y, cy + r.h);
+
+      auto fits = [&](int X, int Y) {
+        int sh = X & 63, w0 = X >> 6;
+        for (int r = 0; r < hc; r++) {
+          const uint64_t* gr = &grid[(size_t)(Y + r) * W64];
+          const uint64_t* mr = &m[(size_t)r * W64];
+          for (int w = 0; w < W64; w++) {
+            uint64_t bits = mr[w];
+            if (!bits) continue;
+            if (w0 + w >= W64) return false;
+            if (gr[w0 + w] & (bits << sh)) return false;
+            if (sh) {
+              uint64_t hi = bits >> (64 - sh);
+              if (hi) {
+                if (w0 + w + 1 >= W64) return false;
+                if (gr[w0 + w + 1] & hi) return false;
+              }
+            }
+          }
+        }
+        return true;
+      };
+
+      bool placed = false;
+      for (int Y = 0; Y + hc <= G && !placed; Y++) {
+        for (int X = row_min_x[Y]; X + wc <= G; X++) {
+          if (fits(X, Y)) {
+            // commit
+            int sh = X & 63, w0 = X >> 6;
+            for (int r = 0; r < hc; r++) {
+              uint64_t* gr = &grid[(size_t)(Y + r) * W64];
+              const uint64_t* mr = &m[(size_t)r * W64];
+              for (int w = 0; w < W64; w++) {
+                uint64_t bits = mr[w];
+                if (!bits) continue;
+                gr[w0 + w] |= (bits << sh);
+                if (sh && w0 + w + 1 < W64) gr[w0 + w + 1] |= (bits >> (64 - sh));
+              }
+            }
+            chart_off_x[ci] = (X + padc) * cell;
+            chart_off_y[ci] = (Y + padc) * cell;
+            used_x = std::max(used_x, (X + wc) * cell);
+            used_y = std::max(used_y, (Y + hc) * cell);
+            placed = true;
+            break;
+          }
+        }
+      }
+      if (!placed) { all_placed = false; break; }
     }
-    float aspect = max_y / std::max(max_x, 1e-20f);
-    if (aspect > 0.92f && aspect < 1.09f) break;
-    atlas_w *= std::sqrt(aspect);
+    if (all_placed) break;
+    atlas_w *= 1.2f;  // ran out of room: grow and repack
   }
-  float s = 1.f / std::max(std::max(max_x, max_y), 1e-20f);
+  float s = 1.f / std::max(std::max(used_x, used_y), 1e-20f);
   // leave padding_px margin around each chart by shrinking into [pad, 1-pad]
   float margin = pad_frac;
   float span = 1.f - 2.f * margin;
-
-  std::vector<float> chart_off_x(n_charts), chart_off_y(n_charts);
-  for (auto& r : rects) {
-    chart_off_x[r.chart] = r.x;
-    chart_off_y[r.chart] = r.y;
-  }
 
   *out_uv = (float*)malloc(sizeof(float) * n_tris * 3 * 2);
   *out_vert_idx = (int*)malloc(sizeof(int) * n_tris * 3);

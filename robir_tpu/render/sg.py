@@ -207,7 +207,8 @@ def sample_lobe_dirs(key: jax.Array, lobes: jnp.ndarray, sharpness: jnp.ndarray,
 def get_diffuse_visibility(key: jax.Array, points: jnp.ndarray, normals: jnp.ndarray,
                            vis_fn: VisFn, lgt_lobes: jnp.ndarray,
                            lgt_lambdas: jnp.ndarray, nsamp: int = 8,
-                           thr: float = 1.0, argmax_vis: bool = False) -> jnp.ndarray:
+                           thr: float = 1.0, argmax_vis: bool = False,
+                           chunk_lights: int = 0) -> jnp.ndarray:
     """SG-weighted mean visibility toward each light lobe.
 
     Parity: sg_render.py:111-195. Dense TPU variant: the MLP runs on every
@@ -218,23 +219,36 @@ def get_diffuse_visibility(key: jax.Array, points: jnp.ndarray, normals: jnp.nda
 
     points/normals: [N, 3]; lgt_lobes: [M, 3]; lgt_lambdas: [M]
     -> vis [M, N].
+
+    ``chunk_lights`` > 0 evaluates the [N, M*S] sweep in light groups via
+    ``lax.map``, bounding peak activation memory (the sweep is the PBR
+    stage's dominant cost; chunking enables low-precision trunks that
+    otherwise OOM at compile time).
     """
     M, N = lgt_lobes.shape[0], points.shape[0]
     lobes = norm_axis(lgt_lobes)
     sample_dir = sample_lobe_dirs(key, lobes, lgt_lambdas, nsamp, thr=thr)  # [M, S, 3]
 
-    dirs = sample_dir.reshape(-1, 3)  # [M*S, 3]
-    cos_term = jnp.einsum("nd,kd->nk", normals, dirs) > TINY  # [N, M*S]
+    def sweep(sd):
+        """sd [m, S, 3] -> visibility [N, m, S]."""
+        m = sd.shape[0]
+        dirs = sd.reshape(-1, 3)  # [m*S, 3]
+        cos_term = jnp.einsum("nd,kd->nk", normals, dirs) > TINY  # [N, m*S]
+        p_in = jnp.broadcast_to(points[:, None, :], (N, m * nsamp, 3))
+        d_in = jnp.broadcast_to(dirs[None, :, :], (N, m * nsamp, 3))
+        logits = vis_fn(p_in, d_in)  # [N, m*S, 2]
+        if argmax_vis:
+            pred = jnp.argmax(logits, axis=-1).astype(points.dtype)
+        else:
+            pred = jax.nn.softmax(logits, axis=-1)[..., 1]
+        return jnp.where(cos_term, pred, 0.0).reshape(N, m, nsamp)
 
-    p_in = jnp.broadcast_to(points[:, None, :], (N, M * nsamp, 3))
-    d_in = jnp.broadcast_to(dirs[None, :, :], (N, M * nsamp, 3))
-    logits = vis_fn(p_in, d_in)  # [N, M*S, 2]
-    if argmax_vis:
-        pred = jnp.argmax(logits, axis=-1).astype(points.dtype)
+    if chunk_lights and M > chunk_lights and M % chunk_lights == 0:
+        groups = sample_dir.reshape(M // chunk_lights, chunk_lights, nsamp, 3)
+        vis = jax.lax.map(sweep, groups)  # [G, N, m, S]
+        vis = jnp.moveaxis(vis, 1, -1).reshape(M, nsamp, N)  # [M, S, N]
     else:
-        pred = jax.nn.softmax(logits, axis=-1)[..., 1]
-    vis = jnp.where(cos_term, pred, 0.0)  # [N, M*S]
-    vis = vis.reshape(N, M, nsamp).transpose(1, 2, 0)  # [M, S, N]
+        vis = sweep(sample_dir).transpose(1, 2, 0)  # [M, S, N]
 
     w = jnp.exp(lgt_lambdas[:, None, None]
                 * (jnp.sum(sample_dir * lobes[:, None, :], axis=-1, keepdims=True) - 1.0))
@@ -396,7 +410,8 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
                    argmax_vis: bool = False,
                    fun_spec: bool = False,
                    diffuse_nsamp: int = 32, diffuse_vis_nsamp: int = 8,
-                   specular_nsamp: int = 8) -> SGRenderOutput:
+                   specular_nsamp: int = 8,
+                   diffuse_sweep_chunk: int = 0) -> SGRenderOutput:
     """Full SG shading for one light set. Parity: sg_render.py:343-565.
 
     points/normal/viewdirs: [N, 3]; lgt_sgs: [N, M, 7] or [M, 7];
@@ -427,7 +442,7 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
         light_vis_gt = get_diffuse_visibility(
             k_diff, points, jax.lax.stop_gradient(normal), vis_fn,
             lgt_lobes[0], lgt_lambdas[0, :, 0], nsamp=nsamp,
-            argmax_vis=argmax_vis)  # [M, N]
+            argmax_vis=argmax_vis, chunk_lights=diffuse_sweep_chunk)  # [M, N]
         light_vis_gt = jnp.broadcast_to(light_vis_gt.T[..., None], (N, M, 3))
 
         if diffuse_vis is not None:
@@ -512,7 +527,7 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
                        indir_integral=None, indir_lgt_sgs=None, vis_fn=None,
                        lin_diff=False, metallic=None, diffuse_vis=None,
                        prefit=None, argmax_vis=False,
-                       fun_spec=False) -> AllSGOutput:
+                       fun_spec=False, diffuse_sweep_chunk=0) -> AllSGOutput:
     """Direct (visibility-attenuated) + indirect SG shading.
     Parity: sg_render.py:304-337. With ``fun_spec`` both specular fields
     are roughness-parameterized callables."""
@@ -521,7 +536,8 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
         k1, points, normal, viewdirs, lgt_sgs, specular_reflectance,
         roughness, diffuse_albedo, comp_vis=True, vis_fn=vis_fn,
         lin_diff=lin_diff, metallic=metallic, diffuse_vis=diffuse_vis,
-        prefit=prefit, argmax_vis=argmax_vis, fun_spec=fun_spec)
+        prefit=prefit, argmax_vis=argmax_vis, fun_spec=fun_spec,
+        diffuse_sweep_chunk=diffuse_sweep_chunk)
 
     if indir_lgt_sgs is not None:
         indirect = render_with_sg(

@@ -59,6 +59,9 @@ class Stage2Config:
     # sweep encodings and can exceed HBM; measured neutral-to-OOM on v5e,
     # so it defaults off.
     vis_compute_dtype: str | None = None
+    # evaluate the diffuse visibility sweep in light groups of this size
+    # (0 = single pass); bounds peak activation memory for bf16 trunks
+    sweep_light_chunk: int = 0
 
 
 class Stage2Model:
@@ -185,7 +188,8 @@ def default_sg_render(model: Stage2Model, key: jax.Array, points, view_dirs,
         indir_integral=indir_integral,
         vis_fn=model.vis_logits,
         lin_diff=lin_diff,
-        argmax_vis=argmax_vis)
+        argmax_vis=argmax_vis,
+        diffuse_sweep_chunk=model.cfg.sweep_light_chunk)
 
     return {
         "normals": normals,

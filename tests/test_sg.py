@@ -301,3 +301,26 @@ def test_multi_view_specular_matches_per_view():
         np.testing.assert_allclose(np.asarray(multi.sg_specular_rgb[v]),
                                    np.asarray(single.sg_specular_rgb),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_diffuse_visibility_chunked_matches_dense():
+    """chunk_lights splits the sweep over light groups via lax.map; results
+    must be identical to the single-pass evaluation."""
+    rng = np.random.default_rng(3)
+    n, m = 10, 16
+    pts = (rng.standard_normal((n, 3)) * 0.3).astype(np.float32)
+    nrm = rng.standard_normal((n, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    lobes = rng.standard_normal((m, 3)).astype(np.float32)
+    lobes /= np.linalg.norm(lobes, axis=-1, keepdims=True)
+    lambdas = jnp.asarray((rng.random(m) * 30 + 5).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    dense = sg.get_diffuse_visibility(key, jnp.asarray(pts), jnp.asarray(nrm),
+                                      _const_vis, jnp.asarray(lobes), lambdas,
+                                      nsamp=8)
+    for chunk in (4, 8):
+        chunked = sg.get_diffuse_visibility(
+            key, jnp.asarray(pts), jnp.asarray(nrm), _const_vis,
+            jnp.asarray(lobes), lambdas, nsamp=8, chunk_lights=chunk)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(dense),
+                                   rtol=1e-6, err_msg=f"chunk={chunk}")

@@ -488,7 +488,16 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
       }
       if (!placed) { all_placed = false; break; }
     }
-    if (all_placed) break;
+    if (all_placed) {
+      // square the used region: if one dimension is slack, shrink/grow the
+      // cell size so the next pack fills the unit square in both axes
+      float aspect = used_y / std::max(used_x, 1e-20f);
+      if (aspect > 1.12f || aspect < 0.89f) {
+        atlas_w *= std::sqrt(aspect);
+        continue;
+      }
+      break;
+    }
     atlas_w *= 1.2f;  // ran out of room: grow and repack
   }
   float s = 1.f / std::max(std::max(used_x, used_y), 1e-20f);

@@ -281,6 +281,26 @@ def cmd_relight(args):
     print("[relight] wrote", out_dir)
 
 
+def cmd_textures(args):
+    """Bake PBR texture maps + OBJ/MTL from the latest CESR (or PBR)
+    checkpoint (the reference's scripts/tex_extract.py)."""
+    from .core import checkpoint as ckpt_lib
+    from .stages.stage2_runner import init_stage2_params
+    from .tools.tex_extract import extract_textures
+    import jax
+    cfg_dict = _load(args)
+    cfg, dataset, params = _stage2_setup(args, cfg_dict)
+    ckpt = args.ckpt or os.path.join(args.log_dir, "CESR", "checkpoints",
+                                     "latest.npz")
+    if not os.path.exists(ckpt):
+        ckpt = os.path.join(args.log_dir, "PBR", "checkpoints", "latest.npz")
+    params, _ = ckpt_lib.restore_into(params, ckpt, ignore_unknown=True)
+    out_dir = args.out or os.path.join(args.log_dir, "textures")
+    extract_textures(params, cfg, args.mesh, out_dir,
+                     resolution=args.resolution)
+    print("[textures] wrote", out_dir)
+
+
 def cmd_sgfit(args):
     from .stages import sg_fit
     sg_fit.main(["--envmap_path", args.envmap_path,
@@ -315,6 +335,14 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--n_views", type=int, default=4)
     p.set_defaults(fn=cmd_relight)
+
+    p = sub.add_parser("textures")
+    _add_common(p)
+    p.add_argument("--mesh", type=str, required=True)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--resolution", type=int, default=1024)
+    p.set_defaults(fn=cmd_textures)
 
     p = sub.add_parser("sgfit")
     p.add_argument("--envmap_path", type=str, required=True)

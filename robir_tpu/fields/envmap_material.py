@@ -51,6 +51,9 @@ class EnvmapMaterialConfig:
     latent_dim: int = 32
     encoder_dims: tuple[int, ...] = (512, 512, 512, 512)
     decoder_dims: tuple[int, ...] = (128, 128)
+    # latent activation of the specular-BRDF encoder; the truck config's
+    # dropout_iter=-2 switches it to softplus (train_cesr.py:186-188)
+    spec_lc_act: str = "sigmoid"
 
     @property
     def pe(self) -> PEConfig:
@@ -71,6 +74,7 @@ class EnvmapMaterialConfig:
     def spec_brdf_ae(self) -> SparseAEConfig:
         return SparseAEConfig(in_dim=self.pe.out_dim, out_dim=5,
                               latent_dim=self.latent_dim, out_act="sigmoid",
+                              lc_act=self.spec_lc_act,
                               encoder_dims=self.encoder_dims,
                               decoder_dims=self.decoder_dims)
 

@@ -238,6 +238,12 @@ class CESRRunner(Stage2RunnerBase):
                 type(stage_cfg) is CESRStageConfig:
             stage_cfg = dataclasses.replace(
                 stage_cfg, num_lights=cfg.envmap.num_lgt_sgs)
+        if stage_cfg.dropout_iter == -2:
+            # truck-config variant: softplus latent activation on the
+            # specular-BRDF encoder (train_cesr.py:186-188)
+            cfg = dataclasses.replace(
+                cfg, envmap=dataclasses.replace(cfg.envmap,
+                                                spec_lc_act="softplus"))
         params = dict(params)
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 77))
         params["shadow_net"] = init_sdf(k1, stage_cfg.shadow_cfg)

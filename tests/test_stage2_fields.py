@@ -197,3 +197,41 @@ class TestIndirectIllum:
                                    rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(got_int), want_int.numpy(),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_cesr_dropout_iter_minus2_softplus_latent():
+    """truck-config variant: dropout_iter=-2 switches the spec-BRDF
+    encoder's latent activation to softplus (train_cesr.py:186-188)."""
+    import dataclasses
+    from robir_tpu.stages.cesr import CESRRunner, CESRStageConfig
+    from robir_tpu.stages.stage2_runner import init_stage2_params
+
+    from robir_tpu.render.stage2 import Stage2Config
+    from robir_tpu.fields.neus_model import NeuSConfig
+    from robir_tpu.fields.sdf import SDFConfig
+    from robir_tpu.fields.radiance import RenderingConfig
+    from robir_tpu.fields.envmap_material import EnvmapMaterialConfig
+    from robir_tpu.fields.visibility import IndirIllumConfig, VisNetConfig
+    from robir_tpu.render.color import ToneMapConfig
+    from robir_tpu.tracing.grid import GridConfig
+    cfg = Stage2Config(
+        neus=NeuSConfig(sdf=SDFConfig(d_out=17, d_hidden=16, n_layers=2,
+                                      skip_in=(), multires=2),
+                        color=RenderingConfig(d_feature=16, d_hidden=16,
+                                              n_layers=1)),
+        envmap=EnvmapMaterialConfig(multires=2, num_lgt_sgs=4,
+                                    encoder_dims=(16,), decoder_dims=(16,),
+                                    latent_dim=8),
+        indirect=IndirIllumConfig(multires=2, dims=(16,), num_lgt_sgs=4),
+        visnet=VisNetConfig(points_multires=2, dirs_multires=2, dims=(16,)),
+        tonemap=ToneMapConfig(hdr_mode=2),
+        grid=GridConfig(resolution=8))
+    params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+
+    class _DS:
+        n_cameras = 1
+
+    sc = CESRStageConfig(num_lights=4, dropout_iter=-2)
+    r = CESRRunner(cfg, params, _DS(), sc)
+    assert r.cfg.envmap.spec_lc_act == "softplus"
+    assert r.cfg.envmap.spec_brdf_ae.lc_act == "softplus"

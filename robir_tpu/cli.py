@@ -88,7 +88,8 @@ _STAGE_PLOTTERS = {
 
 def _plot_stage(runner, dataset, log_name):
     """Render the stage's diagnostic grid (the reference plots every
-    train.plot_freq iters; e.g. train_pbr.py:435)."""
+    train.plot_freq iters; e.g. train_pbr.py:435) and, for the material
+    stages, dump the current SG envmap image (train_cesr.py:363-369)."""
     import importlib
     if dataset is None:
         return
@@ -99,6 +100,22 @@ def _plot_stage(runner, dataset, log_name):
         print(f"[{log_name}] plot -> {out}", flush=True)
     except Exception as e:  # plots are diagnostics; never kill training
         print(f"[{log_name}] plot failed: {e}", flush=True)
+    if log_name in ("PBR", "CESR"):
+        try:
+            import jax.numpy as jnp
+            import numpy as np
+            from PIL import Image
+
+            from .render.sg import compute_envmap
+            mat = runner.model().material(jnp.zeros((1, 3)))
+            env = np.asarray(compute_envmap(mat.lgt_sgs, 128, 256))
+            img = np.clip(np.power(np.clip(env, 0, None), 1 / 2.2), 0, 1)
+            path = os.path.join(runner.log_dir or ".", runner.stage_name,
+                                "plots", f"envmap_{runner.cur_iter}.png")
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            Image.fromarray((img * 255).astype(np.uint8)).save(path)
+        except Exception as e:
+            print(f"[{log_name}] envmap dump failed: {e}", flush=True)
 
 
 def _run_stage(runner, args, stage_cfg_iters, log_name, dataset=None):
@@ -108,9 +125,20 @@ def _run_stage(runner, args, stage_cfg_iters, log_name, dataset=None):
         runner.bake_grid()
     n = args.n_iters or stage_cfg_iters
 
+    # console + tensorboard scalars (train_visibility.py:319-320)
+    tb = None
+    if runner.log_dir:
+        try:
+            from .tools.logger import Logger
+            tb = Logger(os.path.join(runner.log_dir, log_name), log_name)
+        except Exception:
+            tb = None
+
     def log(it, m):
         line = ", ".join(f"{k}={v:.5g}" for k, v in m.items())
         print(f"[{log_name}] iter {it}: {line}", flush=True)
+        if tb is not None:
+            tb.log_scalars(it, tag_prefix=log_name.lower(), **m)
 
     plot_freq = 0 if args.no_plot else args.plot_freq
     if plot_freq > 0:

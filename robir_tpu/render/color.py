@@ -68,17 +68,22 @@ def identity_fn(x, t):
 
 
 _HDR_MODES = {
-    0: (scale_aces_fn, scale_aces_inv),
+    0: (scale_aces_fn, scale_aces_inv),  # the mode the released confs use
+                                         # (confs_sg/{hotdog,truck,dtu}.conf
+                                         # set hdr_mode = 0, gamma = 1.0)
     1: (warp_aces_fn, warp_aces_inv),
-    2: (ln_space_fn, ln_space_inv),   # the mode the released confs use
+    2: (ln_space_fn, ln_space_inv),   # "latest version" per the reference
+                                      # comment (color_correction.py:76-94),
+                                      # but NOT what the shipped confs select
     3: (identity_fn, identity_fn),
 }
 
 
 @dataclasses.dataclass(frozen=True)
 class ToneMapConfig:
-    hdr_mode: int = 2
-    gamma: float = 2.2
+    # defaults mirror the shipped reference confs (hotdog.conf:66-67)
+    hdr_mode: int = 0
+    gamma: float = 1.0
 
 
 def init_tonemap(cfg: ToneMapConfig) -> Params:

@@ -49,7 +49,9 @@ class Stage2Config:
     indirect: IndirIllumConfig = IndirIllumConfig()
     visnet: VisNetConfig = VisNetConfig(points_multires=10, dirs_multires=10,
                                         dims=(256, 256, 256, 256))
-    tonemap: ToneMapConfig = ToneMapConfig(hdr_mode=2)
+    # hdr_mode 0 / gamma 1.0 per the shipped reference confs
+    # (confs_sg/hotdog.conf:66-67; truck/dtu identical)
+    tonemap: ToneMapConfig = ToneMapConfig()
     grid: GridConfig = GridConfig()
     coord_scale: float = 2.0  # stage-2 -> stage-1 coords (neus_model.py:785-791)
     bgr: bool = False

@@ -31,7 +31,16 @@ def test_build_reference_configs():
     assert cfg.indirect.num_lgt_sgs == 24
     assert cfg.visnet.dims == (256, 256, 256, 256)
     assert cfg.neus.sdf.d_hidden == 256
-    assert cfg.tonemap.hdr_mode == 2
+    # confs_sg/hotdog.conf:66-67: hdr_mode = 0, gamma = 1.0
+    assert cfg.tonemap.hdr_mode == 0 and cfg.tonemap.gamma == 1.0
+
+    truck = load_config("configs/truck.json")
+    tcfg = build_stage2_config(truck["model"])
+    assert tcfg.tonemap.hdr_mode == 0
+    tcesr = truck["cesr"]
+    # confs_sg/truck.conf: explore/proj swap + softplus latent (dropout_iter=-2)
+    assert tcesr["explore_iter"] == 0 and tcesr["proj_iter"] == 1000
+    assert tcesr["dropout_iter"] == -2
 
     neus = load_config("configs/neus_blender.json")
     mcfg = build_neus_config(neus["model"])

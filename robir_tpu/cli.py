@@ -48,17 +48,32 @@ def _load(args):
     return cfg
 
 
+def _stage2_dataset(data_dir, cfg_dict):
+    """Stage-2 dataset dispatch on the config's ``dataset.type``
+    ("syn" -> SynDataset, "dtu" -> DTUSceneDataset) — replaces the
+    reference's dotted-path ``train.dataset_class`` reflection
+    (confs_sg/dtu.conf ``dataset_class = datasets.DTU.SceneDataset``,
+    utils/general.py:11-17)."""
+    ds_cfg = dict(cfg_dict.get("dataset", {}))
+    kind = ds_cfg.pop("type", "syn")
+    if kind == "dtu":
+        from .data.neus_npz import DTUConfig, DTUSceneDataset
+        return DTUSceneDataset(DTUConfig(data_dir=data_dir, **ds_cfg))
+    if kind == "syn":
+        from .data.syn_dataset import SynDataset, SynDatasetConfig
+        return SynDataset(SynDatasetConfig(instance_dir=data_dir, **ds_cfg))
+    raise KeyError(f"unknown dataset.type {kind!r} (expected 'syn' or 'dtu')")
+
+
 def _stage2_setup(args, cfg_dict):
     import jax
 
     from .core.config import build_stage2_config
     from .core import checkpoint as ckpt_lib
-    from .data.syn_dataset import SynDataset, SynDatasetConfig
     from .stages.stage2_runner import init_stage2_params
 
     cfg = build_stage2_config(cfg_dict["model"])
-    dataset = SynDataset(SynDatasetConfig(
-        instance_dir=args.data, **cfg_dict.get("dataset", {})))
+    dataset = _stage2_dataset(args.data, cfg_dict)
     params = init_stage2_params(jax.random.PRNGKey(args.seed), cfg)
     # frozen stage-1 geometry: the NeuS trainer checkpoint stores the model
     # under 'params/...'; it becomes the stage-2 'implicit_network' bridge

@@ -179,3 +179,79 @@ def test_cmd_vis_restores_norm_decoder(tmp_path, capsys):
     markd = marked["visibility_network"]
     assert not np.allclose(jax.tree_util.tree_leaves(fresh)[0],
                            jax.tree_util.tree_leaves(markd)[0])
+
+
+def _make_npz_scene(tmp_path, n=6, h=40, w=48):
+    """Procedural cameras_sphere.npz scene (shared shape with
+    test_neus_npz._make_scene)."""
+    import cv2
+    rng = np.random.default_rng(0)
+    K = np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]], np.float32)
+    os.makedirs(tmp_path / "image", exist_ok=True)
+    os.makedirs(tmp_path / "mask", exist_ok=True)
+    cams = {}
+    for i in range(n):
+        theta = 2 * np.pi * i / n
+        center = 3.0 * np.array([np.cos(theta), np.sin(theta), 0.4], np.float32)
+        z = -center / np.linalg.norm(center)
+        x = np.cross(np.array([0, 0, 1.0]), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_w2c = np.stack([x, y, z], 0).astype(np.float32)
+        t_w2c = (-R_w2c @ center).astype(np.float32)
+        P = K @ np.concatenate([R_w2c, t_w2c[:, None]], 1)
+        world_mat = np.eye(4, dtype=np.float32)
+        world_mat[:3, :4] = P
+        cams[f"world_mat_{i}"] = world_mat
+        cams[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "image" / f"{i:03d}.png"), img)
+        cv2.imwrite(str(tmp_path / "mask" / f"{i:03d}.png"),
+                    np.full((h, w, 3), 255, np.uint8))
+    np.savez(tmp_path / "cameras_sphere.npz", **cams)
+
+
+def test_dtu_config_pipeline_smoke(tmp_path):
+    """configs/dtu.json routes to DTUSceneDataset and drives a real PBR
+    train step on a procedural cameras_sphere.npz scene (VERDICT r1 #3)."""
+    import jax
+    from robir_tpu import cli
+    from robir_tpu.fields.envmap_material import EnvmapMaterialConfig
+    from robir_tpu.fields.neus_model import NeuSConfig
+    from robir_tpu.fields.radiance import RenderingConfig
+    from robir_tpu.fields.sdf import SDFConfig
+    from robir_tpu.fields.visibility import IndirIllumConfig, VisNetConfig
+    from robir_tpu.render.stage2 import Stage2Config
+    from robir_tpu.stages.pbr import PBRRunner, PBRStageConfig
+    from robir_tpu.stages.stage2_runner import (StageOptConfig,
+                                                init_stage2_params)
+    from robir_tpu.tracing.grid import GridConfig
+
+    _make_npz_scene(tmp_path)
+    conf = load_config("configs/dtu.json")
+    assert conf["dataset"]["type"] == "dtu"
+    dataset = cli._stage2_dataset(str(tmp_path), conf)
+    from robir_tpu.data.neus_npz import DTUSceneDataset
+    assert isinstance(dataset, DTUSceneDataset)
+    assert dataset.n_cameras == 6 and dataset.total_pixels == 40 * 48
+
+    # reference-shaped but tiny stage-2 model over the DTU dataset
+    cfg = Stage2Config(
+        neus=NeuSConfig(
+            sdf=SDFConfig(d_out=33, d_hidden=32, n_layers=3, skip_in=(),
+                          multires=3, bias=0.5),
+            color=RenderingConfig(d_feature=32, d_hidden=32, n_layers=2)),
+        envmap=EnvmapMaterialConfig(multires=4, num_lgt_sgs=16,
+                                    encoder_dims=(64, 64), decoder_dims=(32,)),
+        indirect=IndirIllumConfig(multires=4, dims=(32, 32), num_lgt_sgs=8),
+        visnet=VisNetConfig(points_multires=4, dirs_multires=4, dims=(32, 32)),
+        tonemap=build_stage2_config(conf["model"]).tonemap,  # dtu: mode 0
+        grid=GridConfig(resolution=48, bbox_min=(-0.45,) * 3,
+                        bbox_max=(0.45,) * 3))
+    params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    pbr = PBRRunner(cfg, params, dataset,
+                    PBRStageConfig(num_pixels=32, opt=StageOptConfig(lr=1e-3)),
+                    log_dir=str(tmp_path / "logs"))
+    pbr.bake_grid()
+    m = pbr.run(3, log_every=1)
+    assert np.isfinite(m["loss"])

@@ -70,7 +70,11 @@ def sample_pdf(key: Optional[jax.Array], bins: jnp.ndarray, weights: jnp.ndarray
     else:
         u = jax.random.uniform(key, (B, n_samples))
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # searchsorted(side="right") as a broadcast comparison count: binary
+    # search compiles to serial gather chains on TPU; the dense [B,n,T]
+    # compare+reduce is one fused VPU pass (measured: the searchsorted/sort
+    # formulation made importance sampling 42% of the whole train step)
+    inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), -1)
     below = jnp.maximum(0, inds - 1)
     above = jnp.minimum(T - 1, inds)
     cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
@@ -113,22 +117,46 @@ def up_sample(rays_o, rays_d, z_vals, sdf, n_importance, inv_s, sphere_radius=1.
     return sample_pdf(None, z_vals, weights, n_importance, det=True)
 
 
+def merge_sorted(a, b, vals_a=None, vals_b=None):
+    """Merge row-wise sorted [B, n1] and [B, n2] into sorted [B, n1+n2],
+    carrying optional per-element values along.
+
+    TPU-native replacement for argsort-of-concatenation (sdf_render.py:94):
+    both inputs are already sorted, so each element's merged position is its
+    own index plus a broadcast comparison count against the other array; the
+    scatter into the merged row rides one-hot matmuls on the MXU instead of
+    a bitonic sort network. Ties keep ``a`` first (argsort-stable order)."""
+    B, n1 = a.shape
+    n2 = b.shape[1]
+    T = n1 + n2
+    rank_a = (jnp.arange(n1)[None, :]
+              + jnp.sum((b[:, None, :] < a[:, :, None]), -1))
+    rank_b = (jnp.arange(n2)[None, :]
+              + jnp.sum((a[:, None, :] <= b[:, :, None]), -1))
+    onehot_a = jax.nn.one_hot(rank_a, T, dtype=a.dtype)     # [B, n1, T]
+    onehot_b = jax.nn.one_hot(rank_b, T, dtype=a.dtype)
+    merged = (jnp.einsum("bnt,bn->bt", onehot_a, a)
+              + jnp.einsum("bnt,bn->bt", onehot_b, b))
+    if vals_a is None:
+        return merged
+    vals = (jnp.einsum("bnt,bn->bt", onehot_a, vals_a)
+            + jnp.einsum("bnt,bn->bt", onehot_b, vals_b))
+    return merged, vals
+
+
 def cat_z_vals(model: NeuS, rays_o, rays_d, z_vals, new_z_vals, sdf,
                last: bool, compute_dtype=None):
-    """Merge + sort sample positions, gathering SDF values along.
-    Parity: sdf_render.py:85-99."""
+    """Merge sample positions, gathering SDF values along.
+    Parity: sdf_render.py:85-99 (same result as its sort+index_select:
+    both inputs are per-row sorted, so a rank merge is exact)."""
     batch_size, n_samples = z_vals.shape
     _, n_importance = new_z_vals.shape
-    z_all = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z_all, axis=-1)
-    z_sorted = jnp.take_along_axis(z_all, order, axis=-1)
     if last:
-        return z_sorted, sdf
+        return merge_sorted(z_vals, new_z_vals), sdf
     pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z_vals[..., :, None]
     new_sdf = model.sdf(pts.reshape(-1, 3), compute_dtype).reshape(
         batch_size, n_importance)
-    sdf_all = jnp.concatenate([sdf, new_sdf], axis=-1)
-    return z_sorted, jnp.take_along_axis(sdf_all, order, axis=-1)
+    return merge_sorted(z_vals, new_z_vals, sdf, new_sdf)
 
 
 def render_core_outside(rays_o, rays_d, z_vals, sample_dist, model: NeuS,
@@ -213,7 +241,10 @@ def render_core(rays_o, rays_d, z_vals, sample_dist, model: NeuS,
     if background_rgb is not None:
         color = color + background_rgb * (1.0 - weights_sum)
 
-    grad_norm = jnp.linalg.norm(gradients.reshape(batch_size, n_samples, 3), axis=-1)
+    # safe norm: fields with clipped encodings (hash grid outside its bbox)
+    # have exactly-zero spatial gradients, where d|g|/dg is NaN
+    grad_norm = jnp.sqrt(jnp.sum(
+        gradients.reshape(batch_size, n_samples, 3) ** 2, axis=-1) + 1e-12)
     gradient_error = jnp.sum(relax_inside * (grad_norm - 1.0) ** 2) / (
         jnp.sum(relax_inside) + 1e-5)
 

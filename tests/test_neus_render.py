@@ -160,3 +160,55 @@ class TestRenderParity:
         gnorm = sum(float(jnp.sum(jnp.abs(l)))
                     for l in jax.tree_util.tree_leaves(g["sdf_network"]))
         assert gnorm > 0
+
+
+def test_merge_sorted_matches_argsort():
+    """merge_sorted == stable argsort of the concatenation (incl. ties)."""
+    import jax.numpy as jnp
+    from robir_tpu.render.neus import merge_sorted
+
+    rng = np.random.default_rng(3)
+    a = np.sort(rng.integers(0, 20, (16, 9)).astype(np.float32) / 2.0, -1)
+    b = np.sort(rng.integers(0, 20, (16, 5)).astype(np.float32) / 2.0, -1)
+    va = rng.standard_normal((16, 9)).astype(np.float32)
+    vb = rng.standard_normal((16, 5)).astype(np.float32)
+
+    z, v = merge_sorted(jnp.asarray(a), jnp.asarray(b),
+                        jnp.asarray(va), jnp.asarray(vb))
+    z_all = np.concatenate([a, b], -1)
+    v_all = np.concatenate([va, vb], -1)
+    order = np.argsort(z_all, -1, kind="stable")
+    np.testing.assert_allclose(np.asarray(z),
+                               np.take_along_axis(z_all, order, -1), rtol=0,
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(v),
+                               np.take_along_axis(v_all, order, -1), rtol=0,
+                               atol=1e-6)
+
+
+def test_sample_pdf_inds_match_searchsorted():
+    """The broadcast comparison count == searchsorted(side='right')."""
+    import jax.numpy as jnp
+    from robir_tpu.render.neus import sample_pdf
+
+    rng = np.random.default_rng(5)
+    bins = np.sort(rng.random((8, 17)).astype(np.float32), -1)
+    w = rng.random((8, 16)).astype(np.float32)
+    out = np.asarray(sample_pdf(None, jnp.asarray(bins), jnp.asarray(w),
+                                12, det=True))
+    # reference formulation (numpy searchsorted per row)
+    wref = w + 1e-5
+    pdf = wref / wref.sum(-1, keepdims=True)
+    cdf = np.concatenate([np.zeros((8, 1)), np.cumsum(pdf, -1)], -1)
+    u = np.linspace(0.5 / 12, 1 - 0.5 / 12, 12, dtype=np.float32)
+    u = np.broadcast_to(u, (8, 12))
+    ref = np.empty_like(out)
+    for i in range(8):
+        inds = np.searchsorted(cdf[i], u[i], side="right")
+        below = np.maximum(0, inds - 1)
+        above = np.minimum(cdf.shape[1] - 1, inds)
+        denom = cdf[i][above] - cdf[i][below]
+        denom = np.where(denom < 1e-5, 1.0, denom)
+        t = (u[i] - cdf[i][below]) / denom
+        ref[i] = bins[i][below] + t * (bins[i][above] - bins[i][below])
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)

@@ -172,19 +172,22 @@ def _run_stage(runner, args, stage_cfg_iters, log_name, dataset=None):
 
 
 def cmd_neus(args):
-    from .core.config import build_neus_config, build_neus_render_config
+    from .core.config import build_stage1_configs
     from .data.blender import BlenderConfig, BlenderScene
-    from .stages.neus_stage import NeusTrainConfig, NeusTrainer
+    from .stages.neus_stage import (NeusTrainConfig, NeusTrainer,
+                                    make_stage1_bindings)
     cfg_dict = _load(args)
-    model_cfg = build_neus_config(cfg_dict["model"])
-    render_cfg = build_neus_render_config(cfg_dict.get("render", {}))
+    model_type, render_type, model_cfg, render_cfg = \
+        build_stage1_configs(cfg_dict)
+    bindings = make_stage1_bindings(model_type, render_type,
+                                    model_cfg, render_cfg)
     tc = cfg_dict.get("train", {})
     train_cfg = NeusTrainConfig(**tc)
     scene = BlenderScene(BlenderConfig(dataset_dir=args.data,
                                        **cfg_dict.get("dataset", {})), "train")
     trainer = NeusTrainer(scene, model_cfg, render_cfg, train_cfg,
                           log_dir=os.path.join(args.log_dir, "NeuS"),
-                          seed=args.seed)
+                          seed=args.seed, bindings=bindings)
     if args.is_continue:
         trainer.restore()
     n = args.n_iters or train_cfg.max_steps
@@ -201,16 +204,23 @@ def cmd_mesh(args):
     import jax
 
     from .core import checkpoint as ckpt_lib
-    from .core.config import build_neus_config
-    from .fields.neus_model import NeuS, init_neus
+    from .core.config import build_stage1_configs
+    from .fields.neus_model import (HashNeuS, NeuS, init_hash_neus, init_neus)
     from .texture.mesh import extract_mesh
     cfg_dict = _load(args)
-    model_cfg = build_neus_config(cfg_dict["model"])
-    params = init_neus(jax.random.PRNGKey(0), model_cfg)
+    model_type, _, model_cfg, _ = build_stage1_configs(cfg_dict)
+    if model_type == "hash":
+        params = init_hash_neus(jax.random.PRNGKey(0), model_cfg)
+    elif model_type == "neus":
+        params = init_neus(jax.random.PRNGKey(0), model_cfg)
+    else:
+        raise SystemExit(f"mesh extraction needs an SDF model, got "
+                         f"model.type={model_type!r}")
     state = {"params": params}
     state, _ = ckpt_lib.restore_into(
         state, args.ckpt, keep=lambda p: p.startswith("params"))
-    model = NeuS(state["params"], model_cfg)
+    model = (HashNeuS if model_type == "hash" else NeuS)(
+        state["params"], model_cfg)
     mcfg = cfg_dict.get("mesh", {})
     mesh = extract_mesh(model.sdf, resolution=mcfg.get("resolution", 256),
                         bbox_min=tuple(mcfg.get("bbox_min", (-1.2,) * 3)),

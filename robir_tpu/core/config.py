@@ -78,6 +78,49 @@ def build_neus_render_config(d: dict) -> NeusRenderConfig:
     return _build(NeusRenderConfig, d)
 
 
+def build_stage1_configs(cfg_dict: dict):
+    """Stage-1 dispatch from config: (model_type, render_type, model_cfg,
+    render_cfg). Mirrors the reference's gin bindings ``Trainer.model_class``
+    (trainer.py:39-48) and ``render`` (interface.py:37-40).
+
+    model.type: "neus" (default) | "hash" | "vnerf";
+    render.type: "neus" (default; forced "mip" for vnerf)."""
+    model_d = dict(cfg_dict.get("model", {}))
+    render_d = dict(cfg_dict.get("render", {}))
+    model_type = model_d.pop("type", "neus")
+    render_type = render_d.pop("type",
+                               "mip" if model_type == "vnerf" else "neus")
+
+    if model_type == "neus":
+        model_cfg = build_neus_config(model_d)
+    elif model_type == "hash":
+        from ..fields.hashgrid import HashGridConfig, HashSDFConfig
+        from ..fields.neus_model import HashNeuSConfig
+        hs = dict(model_d.get("hash_sdf", {}))
+        grid = hs.pop("grid", None)
+        model_cfg = HashNeuSConfig(
+            hash_sdf=_build(HashSDFConfig, hs,
+                            **({"grid": _build(HashGridConfig, grid)}
+                               if grid is not None else {})),
+            color=_build(RenderingConfig, model_d.get("color")),
+            variance=_build(VarianceConfig, model_d.get("variance")),
+            radius=model_d.get("radius", 2.0))
+    elif model_type == "vnerf":
+        from ..fields.vnerf import VNeRFConfig
+        model_cfg = _build(VNeRFConfig, model_d)
+    else:
+        raise KeyError(f"unknown stage-1 model.type {model_type!r}")
+
+    if render_type == "neus":
+        render_cfg = _build(NeusRenderConfig, render_d)
+    elif render_type == "mip":
+        from ..render.mip import MipRenderConfig
+        render_cfg = _build(MipRenderConfig, render_d)
+    else:
+        raise KeyError(f"unknown stage-1 render.type {render_type!r}")
+    return model_type, render_type, model_cfg, render_cfg
+
+
 def build_stage2_config(d: dict) -> Stage2Config:
     return Stage2Config(
         neus=build_neus_config(d.get("neus", {})),

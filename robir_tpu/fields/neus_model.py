@@ -104,3 +104,76 @@ class NeuS:
     def background(self, pts4, dirs):
         return nerf_bg_apply(self.params["nerf_outside"],
                              self.cfg.background, pts4, dirs)
+
+
+# ---------------------------------------------------------------------------
+# Hash-encoded NeuS variant (reference HashSDFNetwork,
+# neus/model/neus_fields.py — the tcnn fast path, dead in the reference,
+# live here): same renderer-facing interface as NeuS with the SDF trunk
+# replaced by hash features + a small MLP head.
+# ---------------------------------------------------------------------------
+
+
+from .hashgrid import HashSDFConfig  # noqa: E402  (no import cycle)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashNeuSConfig:
+    hash_sdf: HashSDFConfig = HashSDFConfig()
+    color: RenderingConfig = RenderingConfig(
+        d_feature=256, mode="idr", d_in=9, d_out=3, d_hidden=256, n_layers=4)
+    variance: VarianceConfig = VarianceConfig(0.3)
+    radius: float = 2.0
+
+
+def init_hash_neus(key: jax.Array, cfg: HashNeuSConfig) -> Params:
+    from .hashgrid import init_hash_sdf
+
+    k1, k2 = jax.random.split(key)
+    return {
+        "sdf_network": init_hash_sdf(k1, cfg.hash_sdf),
+        "color_network": init_rendering(k2, cfg.color),
+        "deviation_network": init_variance(cfg.variance),
+    }
+
+
+class HashNeuS:
+    """NeuS-interface binding over the hash-SDF field (no background
+    shell). Drop-in for ``render_neus``'s model argument."""
+
+    def __init__(self, params: Params, cfg: HashNeuSConfig):
+        self.params = params
+        self.cfg = cfg
+
+    def _full(self, x: jnp.ndarray) -> jnp.ndarray:
+        from .hashgrid import hash_sdf_apply
+        return hash_sdf_apply(self.params["sdf_network"], self.cfg.hash_sdf, x)
+
+    def sdf(self, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+        del compute_dtype  # hash path is gather-bound; low precision no-op
+        return self._full(x)[..., :1]
+
+    def full_with_grad(self, x: jnp.ndarray):
+        """(sdf+features, d sdf/dx) via the same per-point aux-VJP trick as
+        the dense SDF (fields/sdf.py sdf_full_and_gradient)."""
+
+        def one(pt):
+            def f(pp):
+                out = self._full(pp[None])[0]
+                return out[0], out
+
+            (_, full), g = jax.value_and_grad(f, has_aux=True)(pt)
+            return full, g
+
+        return jax.vmap(one)(x)
+
+    def color(self, x, gradients, dirs, feature) -> jnp.ndarray:
+        return rendering_apply(self.params["color_network"], self.cfg.color,
+                               x, gradients, dirs, feature)
+
+    def inv_s(self) -> jnp.ndarray:
+        return jnp.clip(variance_apply(self.params["deviation_network"]),
+                        1e-6, 1e6)
+
+    def radius(self) -> float:
+        return self.cfg.radius

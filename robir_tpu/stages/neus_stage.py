@@ -33,7 +33,8 @@ from ..core import checkpoint as ckpt_lib
 from ..core.mesh import DATA_AXIS, batch_sharding, replicated
 from ..core.schedule import log_lerp_lr
 from ..data.blender import BlenderScene, Prefetcher, RayBatch
-from ..fields.neus_model import NeuS, NeuSConfig, init_neus
+from ..fields.neus_model import (HashNeuS, HashNeuSConfig, NeuS, NeuSConfig,
+                                 init_hash_neus, init_neus)
 from ..render.neus import NeusRenderConfig, Rays, render_neus
 
 
@@ -79,7 +80,8 @@ def neus_loss(out: dict, mask: jnp.ndarray, pixels: jnp.ndarray,
     """Masked MSE + regularizers (trainer.py:136-158, regular.py:32-44)."""
     mask_sum = jnp.sum(mask) + 1e-5
     mse = jnp.sum(mask * (out["rgb"] - pixels) ** 2) / mask_sum
-    eikonal = out["gradient_error"] * cfg.eikonal_weight
+    # density renderers (mip/vnerf) have no SDF gradient -> no eikonal term
+    eikonal = out.get("gradient_error", 0.0) * cfg.eikonal_weight
     silhouette = jnp.mean((out["acc"] - mask[..., 0]) ** 2) * cfg.silhouette_weight
     loss = mse + eikonal + silhouette
     metrics = {"mse": mse, "psnr": mse_to_psnr(mse),
@@ -96,20 +98,76 @@ def neus_loss(out: dict, mask: jnp.ndarray, pixels: jnp.ndarray,
     return loss, metrics
 
 
+def neus_render_binding(model_cfg: NeuSConfig, render_cfg: NeusRenderConfig):
+    """render="neus" (volume_render/interface.py:20-34)."""
+    def render_fn(key, rays, params, cos_anneal, is_eval=False):
+        return render_neus(key, rays, NeuS(params, model_cfg), cos_anneal,
+                           render_cfg, is_eval=is_eval)
+    return render_fn
+
+
+def hash_neus_render_binding(model_cfg: HashNeuSConfig,
+                             render_cfg: NeusRenderConfig):
+    """model_class=HashSDFNetwork equivalent (neus_fields.py tcnn path)."""
+    def render_fn(key, rays, params, cos_anneal, is_eval=False):
+        return render_neus(key, rays, HashNeuS(params, model_cfg), cos_anneal,
+                           render_cfg, is_eval=is_eval)
+    return render_fn
+
+
+def mip_render_binding(model_cfg, render_cfg):
+    """render="mip" over VNeRF/MipNeRF fields: train/eval on the finest
+    level, like the reference ``mip_render_fn`` (interface.py:8-17)."""
+    from ..fields.vnerf import mipnerf_apply, vnerf_apply
+    from ..render.mip import render_mip
+
+    def render_fn(key, rays, params, cos_anneal, is_eval=False):
+        del cos_anneal  # density renderer: no NeuS anneal
+
+        def model_fn(means, covs, viewdirs):
+            if model_cfg.use_ipe:
+                return mipnerf_apply(params, model_cfg, means, covs, viewdirs)
+            return vnerf_apply(params, model_cfg, means, viewdirs)
+
+        out = render_mip(key, rays, model_fn, render_cfg, is_eval=is_eval)[-1]
+        return out
+
+    return render_fn
+
+
+def make_stage1_bindings(model_type: str, render: str, model_cfg, render_cfg):
+    """(init_fn, render_fn) for a stage-1 (model_class, render) pair —
+    the reference's gin dispatch (trainer.py:39-48, interface.py:37-40)."""
+    from ..fields.vnerf import init_vnerf
+
+    table = {
+        ("neus", "neus"): (init_neus, neus_render_binding),
+        ("hash", "neus"): (init_hash_neus, hash_neus_render_binding),
+        ("vnerf", "mip"): (init_vnerf, mip_render_binding),
+    }
+    if (model_type, render) not in table:
+        raise KeyError(f"unsupported stage-1 combo model={model_type!r} "
+                       f"render={render!r}; supported: {sorted(table)}")
+    init_fn, binder = table[(model_type, render)]
+    return (lambda key: init_fn(key, model_cfg)), binder(model_cfg, render_cfg)
+
+
 def make_train_step(model_cfg: NeuSConfig, render_cfg: NeusRenderConfig,
                     train_cfg: NeusTrainConfig,
                     optimizer: optax.GradientTransformation,
-                    mesh: Mesh | None = None) -> Callable:
+                    mesh: Mesh | None = None,
+                    render_fn: Callable | None = None) -> Callable:
     """Build the jitted train step. With a mesh, batch args are sharded over
     'data' and params/opt-state replicated (grads all-reduce over ICI)."""
+    if render_fn is None:
+        render_fn = neus_render_binding(model_cfg, render_cfg)
 
     def step_fn(params, opt_state, batch: RayBatch, step, rng):
         rays, pixels = batch_to_rays(batch)
         cos_anneal = jnp.minimum(1.0, step.astype(jnp.float32) / train_cfg.anneal_end)
 
         def loss_fn(p):
-            model = NeuS(p, model_cfg)
-            out = render_neus(rng, rays, model, cos_anneal, render_cfg)
+            out = render_fn(rng, rays, p, cos_anneal)
             return neus_loss(out, rays.lossmult, pixels, train_cfg)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -132,18 +190,21 @@ def make_train_step(model_cfg: NeuSConfig, render_cfg: NeusRenderConfig,
 
 
 def make_eval_render(model_cfg: NeuSConfig, render_cfg: NeusRenderConfig,
-                     mesh: Mesh | None = None) -> Callable:
-    def render_fn(params, batch: RayBatch):
+                     mesh: Mesh | None = None,
+                     render_fn: Callable | None = None) -> Callable:
+    if render_fn is None:
+        render_fn = neus_render_binding(model_cfg, render_cfg)
+
+    def eval_fn(params, batch: RayBatch):
         rays, _ = batch_to_rays(batch)
-        model = NeuS(params, model_cfg)
-        out = render_neus(None, rays, model, 1.0, render_cfg, is_eval=True)
+        out = render_fn(None, rays, params, 1.0, is_eval=True)
         return {"rgb": out["rgb"], "acc": out["acc"], "dist": out["dist"]}
 
     if mesh is None:
-        return jax.jit(render_fn)
+        return jax.jit(eval_fn)
     repl = replicated(mesh)
     data = batch_sharding(mesh)
-    return jax.jit(render_fn, in_shardings=(repl, RayBatch(*([data] * 8))),
+    return jax.jit(eval_fn, in_shardings=(repl, RayBatch(*([data] * 8))),
                    out_shardings=data)
 
 
@@ -153,7 +214,7 @@ class NeusTrainer:
     def __init__(self, scene: BlenderScene, model_cfg: NeuSConfig,
                  render_cfg: NeusRenderConfig, train_cfg: NeusTrainConfig,
                  mesh: Mesh | None = None, log_dir: str | None = None,
-                 seed: int = 0):
+                 seed: int = 0, bindings: tuple | None = None):
         self.scene = scene
         self.model_cfg = model_cfg
         self.render_cfg = render_cfg
@@ -161,10 +222,15 @@ class NeusTrainer:
         self.mesh = mesh
         self.log_dir = log_dir
 
+        if bindings is None:
+            bindings = ((lambda k: init_neus(k, model_cfg)),
+                        neus_render_binding(model_cfg, render_cfg))
+        init_fn, self._render_fn = bindings
+
         self.optimizer = make_optimizer(train_cfg)
         key = jax.random.PRNGKey(seed)
         self.key, init_key = jax.random.split(key)
-        self.params = init_neus(init_key, model_cfg)
+        self.params = init_fn(init_key)
         self.opt_state = self.optimizer.init(self.params)
         self.step = 0
 
@@ -174,8 +240,10 @@ class NeusTrainer:
             self.opt_state = jax.device_put(self.opt_state, repl)
 
         self.train_step = make_train_step(model_cfg, render_cfg, train_cfg,
-                                          self.optimizer, mesh)
-        self.eval_render = make_eval_render(model_cfg, render_cfg, mesh)
+                                          self.optimizer, mesh,
+                                          render_fn=self._render_fn)
+        self.eval_render = make_eval_render(model_cfg, render_cfg, mesh,
+                                            render_fn=self._render_fn)
 
         self._rng = np.random.default_rng(seed)
         self._prefetch = None
@@ -231,8 +299,8 @@ class NeusTrainer:
             self._prefetch = Prefetcher(self._sample)
         batch = next(self._prefetch)
         del warmup
-        model_cfg, render_cfg, train_cfg = (self.model_cfg, self.render_cfg,
-                                            self.train_cfg)
+        train_cfg = self.train_cfg
+        render_fn = self._render_fn
         optimizer = self.optimizer
 
         def multi(params, opt_state, b, key):
@@ -241,8 +309,7 @@ class NeusTrainer:
                 rays, pixels = batch_to_rays(b)
 
                 def loss_fn(pp):
-                    model = NeuS(pp, model_cfg)
-                    out = render_neus(k, rays, model, 1.0, render_cfg)
+                    out = render_fn(k, rays, pp, 1.0)
                     return neus_loss(out, rays.lossmult, pixels, train_cfg)[0]
 
                 g = jax.grad(loss_fn)(p)

@@ -196,8 +196,27 @@ def cmd_neus(args):
         print(f"[NeuS] step {it}: " + ", ".join(
             f"{k}={v:.5g}" for k, v in m.items()), flush=True)
 
-    trainer.run(n, log_every=50, metrics_cb=log)
+    # test split + logger for the reference train/eval protocol
+    # (in-train renders/meshes, trainer.py:75-81; final test pass with
+    # video + mean PSNR + description.json, exp_runner.py:49-50)
+    from .tools.logger import Logger
+    logger = Logger(os.path.join(args.log_dir, "NeuS"), exp_name="neus")
+    try:
+        test_scene = BlenderScene(
+            BlenderConfig(dataset_dir=args.data,
+                          **cfg_dict.get("dataset", {})), "test")
+    except (FileNotFoundError, KeyError, OSError) as e:
+        print(f"[NeuS] no test split ({e}); in-train eval renders train views")
+        test_scene = None
+
+    trainer.run(n, log_every=50, metrics_cb=log,
+                test_scene=test_scene, logger=logger)
     print("[NeuS] saved", trainer.save())
+    if test_scene is not None:
+        metrics = trainer.test(test_scene, logger=logger)
+        print("[NeuS] test: " + ", ".join(
+            f"{k}={v:.5g}" for k, v in metrics.items()), flush=True)
+    logger.close()
 
 
 def cmd_mesh(args):

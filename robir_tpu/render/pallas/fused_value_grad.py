@@ -55,6 +55,19 @@ from .fused_mlp import MLPPlan, _act, _interpret, _pad_rows, fold_weight_norm
 _SQ2 = np.float32(1.0 / np.sqrt(2.0))
 
 
+def _mm(a, b, ta: bool = False, tb: bool = False):
+    """bf16-operand matmul with fp32 accumulate — the same single-MXU-pass
+    numerics XLA uses for fp32 dots at DEFAULT precision (fp32-pass Mosaic
+    matmuls run ~3.7x slower on v5e and erase the fusion win). Transposition
+    is expressed through dot_general contraction dims, not relayouts."""
+    if not _interpret():  # on CPU (tests) keep fp32 for exact comparisons
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    dims = (((0 if ta else a.ndim - 1,), (1 if tb else 0,)), ((), ()))
+    return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                               preferred_element_type=jnp.float32)
+
+
 def _sigma_p(plan: MLPPlan, z):
     """sigma'(z) for the plan activation."""
     if plan.activation == "softplus100":
@@ -81,7 +94,7 @@ def _forward_phases(plan: MLPPlan, x, weights, biases):
         c = (jnp.concatenate([h, x], axis=-1) * _SQ2
              if i in plan.skip_in else h)
         cs.append(c)
-        z = jnp.dot(c, weights[i], preferred_element_type=jnp.float32) + biases[i]
+        z = _mm(c, weights[i]) + biases[i]
         if i < n - 1:
             s = _sigma_p(plan, z)
             ss.append(s)
@@ -99,7 +112,7 @@ def _forward_phases(plan: MLPPlan, x, weights, biases):
     de = jnp.zeros_like(x)
     u = e0
     for i in range(n - 1, -1, -1):
-        p = jnp.dot(u, weights[i].T, preferred_element_type=jnp.float32)
+        p = _mm(u, weights[i], tb=True)
         if i in plan.skip_in:
             d = plan.dims[i]
             de = de + p[:, d:] * _SQ2
@@ -161,18 +174,17 @@ def _bwd_kernel(plan: MLPPlan, *refs):
             pbar = jnp.concatenate([qbar * _SQ2, dde * _SQ2], axis=-1)
         else:
             pbar = qbar
-        dws[i] = jnp.dot(pbar.T, us[i], preferred_element_type=jnp.float32)
-        ubar = jnp.dot(pbar, weights[i], preferred_element_type=jnp.float32)
+        dws[i] = _mm(pbar, us[i], ta=True)
+        ubar = _mm(pbar, weights[i])
 
     # descending sweep: standard backward with sigma'' injections
     zbar = dy_ref[:]
     dx = jnp.zeros_like(x)
     for i in range(n - 1, -1, -1):
-        dws[i] = dws[i] + jnp.dot(cs[i].T, zbar,
-                                  preferred_element_type=jnp.float32)
+        dws[i] = dws[i] + _mm(cs[i], zbar, ta=True)
         db_refs[i][:] += jnp.sum(zbar, axis=0)
         dw_refs[i][:] += dws[i]
-        cbar = jnp.dot(zbar, weights[i].T, preferred_element_type=jnp.float32)
+        cbar = _mm(zbar, weights[i], tb=True)
         if i in plan.skip_in:
             d = plan.dims[i]
             dx = dx + cbar[:, d:] * _SQ2

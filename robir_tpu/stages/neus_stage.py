@@ -54,6 +54,11 @@ class NeusTrainConfig:
     eval_chunk: int = 1024
     ckpt_every: int = 50_000
     grad_max_norm: float = 0.0
+    # in-train eval/mesh cadence (reference renders a test image and
+    # extracts a mesh every 50k steps, trainer.py:75-81, blender.gin:13-14)
+    eval_every: int = 50_000
+    mesh_resolution: int = 128
+    mesh_bbox: float = 1.2
 
 
 def mse_to_psnr(mse):
@@ -136,20 +141,26 @@ def mip_render_binding(model_cfg, render_cfg):
 
 
 def make_stage1_bindings(model_type: str, render: str, model_cfg, render_cfg):
-    """(init_fn, render_fn) for a stage-1 (model_class, render) pair —
-    the reference's gin dispatch (trainer.py:39-48, interface.py:37-40)."""
+    """(init_fn, render_fn, sdf_binder) for a stage-1 (model_class, render)
+    pair — the reference's gin dispatch (trainer.py:39-48,
+    interface.py:37-40). ``sdf_binder(params) -> sdf callable`` is None for
+    density models (no mesh extraction)."""
     from ..fields.vnerf import init_vnerf
 
     table = {
-        ("neus", "neus"): (init_neus, neus_render_binding),
-        ("hash", "neus"): (init_hash_neus, hash_neus_render_binding),
-        ("vnerf", "mip"): (init_vnerf, mip_render_binding),
+        ("neus", "neus"): (init_neus, neus_render_binding,
+                           lambda p: NeuS(p, model_cfg).sdf),
+        ("hash", "neus"): (init_hash_neus, hash_neus_render_binding,
+                           lambda p: HashNeuS(p, model_cfg).sdf),
+        ("vnerf", "mip"): (init_vnerf, mip_render_binding, None),
     }
     if (model_type, render) not in table:
         raise KeyError(f"unsupported stage-1 combo model={model_type!r} "
-                       f"render={render!r}; supported: {sorted(table)}")
-    init_fn, binder = table[(model_type, render)]
-    return (lambda key: init_fn(key, model_cfg)), binder(model_cfg, render_cfg)
+                       f"render={render!r}; supported: "
+                       f"{sorted(k for k in table)}")
+    init_fn, binder, sdf_binder = table[(model_type, render)]
+    return ((lambda key: init_fn(key, model_cfg)),
+            binder(model_cfg, render_cfg), sdf_binder)
 
 
 def make_train_step(model_cfg: NeuSConfig, render_cfg: NeusRenderConfig,
@@ -224,8 +235,11 @@ class NeusTrainer:
 
         if bindings is None:
             bindings = ((lambda k: init_neus(k, model_cfg)),
-                        neus_render_binding(model_cfg, render_cfg))
-        init_fn, self._render_fn = bindings
+                        neus_render_binding(model_cfg, render_cfg),
+                        lambda p: NeuS(p, model_cfg).sdf)
+        if len(bindings) == 2:  # older 2-tuple callers: no sdf binder
+            bindings = (*bindings, None)
+        init_fn, self._render_fn, self._sdf_binder = bindings
 
         self.optimizer = make_optimizer(train_cfg)
         key = jax.random.PRNGKey(seed)
@@ -263,7 +277,12 @@ class NeusTrainer:
     # -- training -----------------------------------------------------------
 
     def run(self, n_steps: int, log_every: int = 0,
-            metrics_cb: Callable[[int, dict], None] | None = None) -> dict:
+            metrics_cb: Callable[[int, dict], None] | None = None,
+            test_scene: BlenderScene | None = None,
+            logger=None) -> dict:
+        """Train loop. With ``test_scene``/``logger``, renders a test view
+        and extracts a mesh every ``eval_every`` steps — the reference's
+        in-train protocol (neus/optimization/trainer.py:75-81)."""
         if self._prefetch is None:
             self._prefetch = Prefetcher(self._sample)
         last = {}
@@ -278,12 +297,40 @@ class NeusTrainer:
                 last = {k: float(v) for k, v in metrics.items()}
                 if metrics_cb:
                     metrics_cb(self.step, last)
+            if (self.train_cfg.eval_every
+                    and self.step % self.train_cfg.eval_every == 0):
+                self.in_train_eval(test_scene, logger)
             if self.log_dir and self.step % self.train_cfg.ckpt_every == 0:
                 self.save()
         jax.block_until_ready(self.params)
         if not last:
             last = {k: float(v) for k, v in metrics.items()}
         return last
+
+    def in_train_eval(self, test_scene: BlenderScene | None, logger) -> None:
+        """One periodic test render + mesh extraction (trainer.py:75-81)."""
+        if logger is None:
+            return
+        if test_scene is not None:
+            out = self.render_image(self.step % test_scene.n_images,
+                                    scene=test_scene)
+            logger.log_image(self.step, "test_rgb",
+                             np.clip(out["rgb"], 0, 1))
+            logger.log_scalars(self.step, "test", psnr=out["psnr"],
+                               mse=out["mse"])
+        mesh = self.extract_mesh()
+        if mesh is not None:
+            logger.log_mesh(self.step, mesh)
+
+    def extract_mesh(self, resolution: int | None = None):
+        """Marching-tets mesh of the current SDF (None for density models)."""
+        if self._sdf_binder is None:
+            return None
+        from ..texture.mesh import extract_mesh
+        bb = self.train_cfg.mesh_bbox
+        return extract_mesh(self._sdf_binder(self.params),
+                            resolution=resolution or self.train_cfg.mesh_resolution,
+                            bbox_min=(-bb,) * 3, bbox_max=(bb,) * 3)
 
     def throughput(self, n_steps: int = 20, warmup: int = 3,
                    reps: int = 4) -> float:

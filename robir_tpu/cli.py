@@ -348,8 +348,26 @@ def cmd_relight(args):
     grid = build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid)
     out_dir = args.out or os.path.join(args.log_dir, "relight",
                                        os.path.basename(args.envmap))
-    relight_views(params, cfg, grid, dataset, args.envmap, out_dir,
-                  view_indices=range(min(dataset.n_cameras, args.n_views)))
+    # relit ground truth ships with the TEST split (syn_dataset.py:101-115)
+    if os.path.exists(os.path.join(args.data, "transforms_test.json")):
+        test_cfg = dict(cfg_dict.get("dataset", {}))
+        test_cfg.pop("type", None)
+        test_cfg["split"] = "test"
+        from .data.syn_dataset import SynDataset, SynDatasetConfig
+        dataset = SynDataset(SynDatasetConfig(instance_dir=args.data,
+                                              **test_cfg))
+    _, metrics = relight_views(
+        params, cfg, grid, dataset, args.envmap, out_dir,
+        view_indices=range(min(dataset.n_cameras, args.n_views)),
+        light_origin=args.light_origin)
+    if "mean_relit_psnr" in metrics:
+        for i, p in enumerate(metrics["relit_psnr"]):
+            print(f"[relight] view {i}: relit_psnr={p:.3f}")
+        print(f"[relight] mean_relit_psnr={metrics['mean_relit_psnr']:.3f}"
+              + (f" masked={metrics['mean_relit_psnr_masked']:.3f}"
+                 if "mean_relit_psnr_masked" in metrics else ""))
+        with open(os.path.join(out_dir, "metrics.json"), "w") as fp:
+            json.dump(metrics, fp, indent=1)
     print("[relight] wrote", out_dir)
 
 
@@ -406,6 +424,9 @@ def main(argv=None):
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--n_views", type=int, default=4)
+    p.add_argument("--light_origin", action="store_true",
+                   help="render under the training light (sg+indir; "
+                        "scripts/relight.py:78-81)")
     p.set_defaults(fn=cmd_relight)
 
     p = sub.add_parser("textures")

@@ -93,11 +93,29 @@ def make_sphere_dataset(out_dir: str, n_train: int = 20, n_test: int = 4,
             name = f"{split}/r_{i}"
             Image.fromarray((img * 255).astype(np.uint8), "RGBA").save(
                 os.path.join(out_dir, name + ".png"))
+            if split == "test":
+                # SynDataset test-split layout (datasets/syn_dataset.py:
+                # *_rgba.png + test_rli/{env}_{ind}.png relit ground truth)
+                Image.fromarray((img * 255).astype(np.uint8), "RGBA").save(
+                    os.path.join(out_dir, name + "_rgba.png"))
+                os.makedirs(os.path.join(out_dir, "test_rli"), exist_ok=True)
+                for env, ld in RELIT_LIGHT_DIRS.items():
+                    rel = render_sphere_gt(c2w, h, w, focal, radius=radius,
+                                           light_dir=ld)
+                    Image.fromarray(
+                        (rel[..., :3] * 255).astype(np.uint8), "RGB").save(
+                        os.path.join(out_dir, "test_rli",
+                                     f"{env}_r_{i}.png"))
             frames.append({"file_path": name,
                            "transform_matrix": c2w.tolist()})
         with open(os.path.join(out_dir, f"transforms_{split}.json"), "w") as fp:
             json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, fp)
     return out_dir
+
+
+# analytic stand-ins for the reference's relit test conditions
+# (datasets/syn_dataset.py:101-115 loads envmap6/envmap12 renders)
+RELIT_LIGHT_DIRS = {"envmap6": (-0.6, 0.4, 0.7), "envmap12": (0.2, -0.7, 0.7)}
 
 
 def sphere_scene(tmp_dir: str, **kwargs) -> BlenderScene:
@@ -190,6 +208,16 @@ def make_shadow_dataset(out_dir: str, n_train: int = 20, n_test: int = 3,
             name = f"{split}/r_{i}"
             Image.fromarray((img * 255).astype(np.uint8), "RGBA").save(
                 os.path.join(out_dir, name + ".png"))
+            if split == "test":
+                Image.fromarray((img * 255).astype(np.uint8), "RGBA").save(
+                    os.path.join(out_dir, name + "_rgba.png"))
+                os.makedirs(os.path.join(out_dir, "test_rli"), exist_ok=True)
+                for env, ld in RELIT_LIGHT_DIRS.items():
+                    rel = render_two_sphere_gt(c2w, h, w, focal, light_dir=ld)
+                    Image.fromarray(
+                        (rel[..., :3] * 255).astype(np.uint8), "RGB").save(
+                        os.path.join(out_dir, "test_rli",
+                                     f"{env}_r_{i}.png"))
             frames.append({"file_path": name,
                            "transform_matrix": c2w.tolist()})
         with open(os.path.join(out_dir, f"transforms_{split}.json"), "w") as fp:

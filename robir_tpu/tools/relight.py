@@ -29,17 +29,35 @@ from .plots import lin2img, tonemap, _save
 def relight_views(params: dict, cfg: Stage2Config, grid_values,
                   dataset: SynDataset, envmap_path: str, out_dir: str,
                   view_indices=None, chunk: int = 8000,
-                  key=None) -> list[dict]:
-    """Render relit frames for the given test views. Returns per-view output
-    dicts and writes PNGs (rgb / albedo / roughness / normal)."""
+                  key=None, light_origin: bool = False,
+                  write_video: bool = True) -> tuple[list[dict], dict]:
+    """Render relit frames for the given test views. Returns (per-view output
+    dicts, metrics) and writes PNGs (rgb / albedo / roughness / normal) plus
+    ``video_rgb.mp4`` (scripts/relight.py:116).
+
+    ``light_origin``: the reference composes ``sg_rgb + indir_rgb`` only when
+    rendering under the *training* light; under a swapped envmap the cached
+    indirect illumination is stale, so only ``sg_rgb`` is used
+    (scripts/relight.py:78-81).
+
+    Metrics: when the dataset carries relit ground truth for this envmap
+    (``SynDataset.relit_images``, reference datasets/syn_dataset.py:101-115),
+    per-view and mean relit PSNR are computed in the 8-bit display domain
+    (gamma-1/2.2 encode of both sides), full-image and object-masked."""
     key = key if key is not None else jax.random.PRNGKey(0)
     params, envmap_img = _swap_light(params, envmap_path)
     model = Stage2Model(params, cfg, grid_values)
     os.makedirs(out_dir, exist_ok=True)
 
-    render_fn = jax.jit(functools.partial(_render_chunk, model=model, cfg=cfg))
+    render_fn = jax.jit(functools.partial(_render_chunk, model=model, cfg=cfg,
+                                          light_origin=light_origin))
+
+    env_name = os.path.splitext(os.path.basename(envmap_path))[0]
+    gt_views = getattr(dataset, "relit_images", {}).get(env_name)
 
     results = []
+    frames = []
+    psnrs, psnrs_masked = [], []
     view_indices = view_indices if view_indices is not None else range(dataset.n_cameras)
     envmap_j = jnp.asarray(envmap_img)
     for vi in view_indices:
@@ -65,16 +83,62 @@ def relight_views(params: dict, cfg: Stage2Config, grid_values,
             outs.append(out)
         view = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
         res = dataset.img_res
-        _save(os.path.join(out_dir, f"rgb_{vi:03d}.png"),
-              tonemap(lin2img(view["rgb"], res)))
+        frame = tonemap(lin2img(view["rgb"], res))
+        _save(os.path.join(out_dir, f"rgb_{vi:03d}.png"), frame)
+        frames.append(frame)
         _save(os.path.join(out_dir, f"albedo_{vi:03d}.png"),
               tonemap(lin2img(view["albedo"], res)))
         _save(os.path.join(out_dir, f"roughness_{vi:03d}.png"),
               lin2img(view["roughness"], res))
         _save(os.path.join(out_dir, f"normal_{vi:03d}.png"),
               lin2img(view["normal"] * 0.5 + 0.5, res))
+        if gt_views is not None:
+            gt = np.asarray(gt_views[vi])
+            psnrs.append(_display_psnr(view["rgb"], gt))
+            m = np.asarray(dataset.object_masks[vi]) \
+                if getattr(dataset, "object_masks", None) else None
+            if m is not None:
+                psnrs_masked.append(_display_psnr(view["rgb"][m], gt[m]))
         results.append(view)
-    return results
+
+    metrics = {}
+    if psnrs:
+        metrics["relit_psnr"] = [float(p) for p in psnrs]
+        metrics["mean_relit_psnr"] = float(np.mean(psnrs))
+        if psnrs_masked:
+            metrics["relit_psnr_masked"] = [float(p) for p in psnrs_masked]
+            metrics["mean_relit_psnr_masked"] = float(np.mean(psnrs_masked))
+    if write_video and frames:
+        metrics["video"] = _write_video(
+            os.path.join(out_dir, "video_rgb"), frames)
+    return results, metrics
+
+
+def _display_psnr(pred_lin: np.ndarray, gt_lin: np.ndarray) -> float:
+    """PSNR in the 8-bit display domain: both sides gamma-1/2.2 encoded and
+    clipped — the space the reference's saved PNGs (and the paper's reported
+    relit comparisons) live in."""
+    enc = lambda x: np.clip(x, 0.0, 1.0) ** (1.0 / 2.2)  # noqa: E731
+    mse = float(np.mean((enc(pred_lin) - enc(gt_lin)) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-12))
+
+
+def _write_video(path_base: str, frames: list[np.ndarray], fps: int = 20) -> str:
+    """mp4 via imageio/ffmpeg, gif fallback (reference
+    scripts/relight.py:116 imageio.mimwrite)."""
+    arrs = [(np.clip(f, 0, 1) * 255).astype(np.uint8) if f.dtype != np.uint8
+            else f for f in frames]
+    try:
+        import imageio
+        path = path_base + ".mp4"
+        imageio.mimwrite(path, arrs, fps=fps)
+    except Exception:
+        from PIL import Image
+        path = path_base + ".gif"
+        ims = [Image.fromarray(a) for a in arrs]
+        ims[0].save(path, save_all=True, append_images=ims[1:],
+                    duration=int(1000 / fps), loop=0)
+    return path
 
 
 def _swap_light(params: dict, envmap_path: str):
@@ -85,13 +149,16 @@ def _swap_light(params: dict, envmap_path: str):
     return new_params, envmap_img
 
 
-def _render_chunk(dirs, points, key, *, model: Stage2Model, cfg: Stage2Config):
+def _render_chunk(dirs, points, key, *, model: Stage2Model, cfg: Stage2Config,
+                  light_origin: bool = False):
     n = dirs.shape[0]
     hdr_shift = jnp.broadcast_to(as_input(model.params["gamma"]), (n, 1))
     inp = {"points": points, "dirs": dirs, "hdr_shift": hdr_shift}
     out = stage2_forward(model, key, inp, trainstage="Material",
                          sg_render_fn=pbr_sg_render, train_spec=False)
-    pred = out["sg_rgb"] + out["indir_rgb"]
+    # under a swapped light the cached indirect term is stale -> sg only
+    # (scripts/relight.py:78-81)
+    pred = out["sg_rgb"] + out["indir_rgb"] if light_origin else out["sg_rgb"]
     pred = hdr2ldr(model.params["gamma"], cfg.tonemap, pred)
     return {"rgb": pred, "albedo": out["diffuse_albedo"],
             "roughness": out["roughness"], "normal": out["normal_map"],

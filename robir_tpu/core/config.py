@@ -23,6 +23,7 @@ from ..render.color import ToneMapConfig
 from ..render.neus import NeusRenderConfig
 from ..render.stage2 import Stage2Config
 from ..tracing.grid import GridConfig
+from ..tracing.sphere import SphereTracerConfig
 
 
 def load_config(path: str) -> dict:
@@ -130,7 +131,12 @@ def build_stage2_config(d: dict) -> Stage2Config:
         tonemap=_build(ToneMapConfig, d.get("tonemap")),
         grid=_build(GridConfig, d.get("grid")),
         coord_scale=d.get("coord_scale", 2.0),
-        bgr=d.get("bgr", False))
+        bgr=d.get("bgr", False),
+        vis_compute_dtype=d.get("vis_compute_dtype"),
+        sweep_light_chunk=d.get("sweep_light_chunk", 0),
+        use_neus=d.get("use_neus", True),
+        tracer=d.get("tracer", "grid"),
+        sphere_tracer=_build(SphereTracerConfig, d.get("sphere_tracer")))
 
 
 def build_stage_config(dc_type, d: dict | None):

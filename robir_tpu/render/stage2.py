@@ -37,6 +37,7 @@ from ..fields.visibility import (IndirIllumConfig, VisNetConfig,
 from ..render import sg as sg_lib
 from ..render.color import ToneMapConfig, ldr2hdr
 from ..tracing.grid import GridConfig, grid_cast
+from ..tracing.sphere import SphereTracerConfig, sphere_trace
 from .neus import Rays  # noqa: F401  (re-export convenience)
 
 TINY = 1e-6
@@ -64,6 +65,17 @@ class Stage2Config:
     # evaluate the diffuse visibility sweep in light groups of this size
     # (0 = single pass); bounds peak activation memory for bf16 trunks
     sweep_light_chunk: int = 0
+    # geometry-composite mode (implicit_differentiable_renderer.py:268-282):
+    # use_neus=True binds the frozen NeuS bridge (ImplicitNetworkMy);
+    # use_neus=False runs the plain IDR ImplicitNetwork/RenderingNetwork
+    # pair (fields/sdf.py geometric init + fields/radiance.py) with no
+    # coordinate rescale
+    use_neus: bool = True
+    # primary tracer: "grid" (cached-SDF grid march) or "sphere"
+    # (dual-ended sphere tracing + secant, the reference's RayTracing when
+    # use_octree=False, implicit_differentiable_renderer.py:270-273)
+    tracer: str = "grid"
+    sphere_tracer: SphereTracerConfig = SphereTracerConfig()
 
 
 class Stage2Model:
@@ -80,13 +92,21 @@ class Stage2Model:
         self.params = params
         self.cfg = cfg
         self.grid_values = grid_values
-        self.neus = NeuS(params["implicit_network"], cfg.neus)
+        # use_neus=False runs the plain IDR pair instead of the NeuS bridge
+        # (implicit_differentiable_renderer.py:276-282)
+        self.neus = (NeuS(params["implicit_network"], cfg.neus)
+                     if cfg.use_neus else None)
 
-    # -- stage-1 bridge (ImplicitNetworkMy) --------------------------------
+    # -- stage-1 bridge (ImplicitNetworkMy) / IDR ImplicitNetwork ----------
 
     def sdf_full(self, x: jnp.ndarray) -> jnp.ndarray:
         """[N, 3] -> [N, 1 + feat]; x in stage-2 coords
-        (neus_model.py:785-791: query at 2x, output / 2)."""
+        (neus_model.py:785-791: query at 2x, output / 2; the IDR network
+        queries in stage-2 coords directly)."""
+        if not self.cfg.use_neus:
+            from ..fields.sdf import sdf_apply
+            return sdf_apply(self.params["implicit_network"],
+                             self.cfg.neus.sdf, x)
         return self.neus.full(x * self.cfg.coord_scale) / 2.0
 
     def sdf(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -97,8 +117,14 @@ class Stage2Model:
         return jax.vmap(grad_fn)(x)
 
     def color(self, points, normals, view_dirs, feature_vectors):
-        c = self.neus.color(points * self.cfg.coord_scale, normals, view_dirs,
-                            feature_vectors)
+        if not self.cfg.use_neus:
+            from ..fields.radiance import rendering_apply
+            c = rendering_apply(self.params["rendering_network"],
+                                self.cfg.neus.color, points, normals,
+                                view_dirs, feature_vectors)
+        else:
+            c = self.neus.color(points * self.cfg.coord_scale, normals,
+                                view_dirs, feature_vectors)
         return jnp.flip(c, -1) if self.cfg.bgr else c
 
     def volume_render_color(self, sdf: jnp.ndarray, color: jnp.ndarray) -> jnp.ndarray:
@@ -120,7 +146,17 @@ class Stage2Model:
 
     def borrow_color(self, points: jnp.ndarray, view_dirs: jnp.ndarray) -> jnp.ndarray:
         """16-sample mini NeuS render along the (negated) view ray at a hit
-        point (neus_model.py:856-871). points in stage-2 coords."""
+        point (neus_model.py:856-871). points in stage-2 coords.
+
+        In IDR mode (use_neus=False) the reference's rendering network is
+        evaluated at the surface point directly (its trace_radiance simply
+        queries ``self.rendering_network``)."""
+        if not self.cfg.use_neus:
+            vd = -view_dirs / jnp.linalg.norm(view_dirs, axis=-1,
+                                              keepdims=True)
+            full = self.sdf_full(points)
+            normals = self.sdf_gradient(points)
+            return self.color(points, normals, vd, full[..., 1:])
         n_samp = 16
         vd = -view_dirs / jnp.linalg.norm(view_dirs, axis=-1, keepdims=True)
         t = jnp.linspace(-0.01, 0.05, n_samp)[:, None]
@@ -154,7 +190,15 @@ class Stage2Model:
                             points, dirs, compute_dtype=dtype)
 
     def trace(self, origins, dirs):
-        """Primary/secondary ray cast via the cached-SDF grid."""
+        """Primary/secondary ray cast -> (t [N], hit [N], x [N,3]).
+
+        Dispatches on ``cfg.tracer``: the cached-SDF grid march (default)
+        or live dual-ended sphere tracing on the implicit network (the
+        reference's RayTracing, ray_tracing.py:49-99)."""
+        if self.cfg.tracer == "sphere":
+            res = sphere_trace(self.sdf, origins, dirs,
+                               self.cfg.sphere_tracer)
+            return res.dists, res.mask, res.points
         return grid_cast(self.grid_values, self.cfg.grid, origins, dirs)
 
 

@@ -84,9 +84,12 @@ def pbr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
 
 
 def make_pbr_step(cfg: Stage2Config, stage_cfg: PBRStageConfig,
-                  optimizer: optax.GradientTransformation):
+                  optimizer: optax.GradientTransformation,
+                  jit: bool = True):
+    """One PBR train step. ``jit=False`` returns the raw (traceable)
+    function for callers that embed it in a larger jitted program
+    (bench.py chains steps inside one lax.scan)."""
 
-    @jax.jit
     def step(trainable, frozen, opt_state, grid_values, batch, key):
         def loss_fn(tp):
             params = join_params(tp, frozen)
@@ -139,7 +142,7 @@ def make_pbr_step(cfg: Stage2Config, stage_cfg: PBRStageConfig,
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, metrics
 
-    return step
+    return jax.jit(step) if jit else step
 
 
 class PBRRunner(Stage2RunnerBase):

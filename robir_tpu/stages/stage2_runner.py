@@ -51,14 +51,22 @@ def make_adam(cfg: StageOptConfig) -> optax.GradientTransformation:
 
 
 def init_stage2_params(key: jax.Array, cfg: Stage2Config) -> dict:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    return {
-        "implicit_network": init_neus(k1, cfg.neus),
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    params = {
         "envmap_material_network": init_envmap_material(k2, cfg.envmap),
         "indirect_illum_network": init_indirect(k3, cfg.indirect),
         "visibility_network": init_visnet(k4, cfg.visnet),
         "gamma": init_tonemap(cfg.tonemap),
     }
+    if cfg.use_neus:
+        params["implicit_network"] = init_neus(k1, cfg.neus)
+    else:
+        # plain IDR pair (implicit_differentiable_renderer.py:280-282)
+        from ..fields.radiance import init_rendering
+        from ..fields.sdf import init_sdf
+        params["implicit_network"] = init_sdf(k1, cfg.neus.sdf)
+        params["rendering_network"] = init_rendering(k5, cfg.neus.color)
+    return params
 
 
 def split_params(params: dict, trainable_prefixes: Sequence[str]):

@@ -140,3 +140,72 @@ def test_forward_jits(model):
                                                  train_spec=True)["sg_rgb"])
     out = fn(jax.random.PRNGKey(6), inp)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# -- IDR mode: use_neus=False + sphere tracer (VERDICT r1 #7) ----------------
+
+@pytest.fixture(scope="module")
+def idr_model():
+    """Pure-IDR composite: plain ImplicitNetwork/RenderingNetwork with the
+    sphere tracer as primary tracer
+    (implicit_differentiable_renderer.py:268-282)."""
+    from robir_tpu.stages.stage2_runner import init_stage2_params
+    from robir_tpu.tracing.sphere import SphereTracerConfig
+
+    # 64x4 trunk: the geometric init of the very small 32x3 trunk is too
+    # lopsided (negative pockets on the r=1 shell) for sphere tracing
+    neus_cfg = NeuSConfig(
+        sdf=SDFConfig(d_out=33, d_hidden=64, n_layers=4, skip_in=(),
+                      multires=3, bias=0.5),
+        color=RenderingConfig(d_feature=32, d_hidden=32, n_layers=2))
+    cfg = Stage2Config(
+        neus=neus_cfg,
+        envmap=EnvmapMaterialConfig(multires=4, num_lgt_sgs=16,
+                                    encoder_dims=(64, 64),
+                                    decoder_dims=(32,)),
+        indirect=IndirIllumConfig(multires=4, dims=(32, 32), num_lgt_sgs=8),
+        visnet=VisNetConfig(points_multires=4, dirs_multires=4,
+                            dims=(32, 32)),
+        tonemap=ToneMapConfig(hdr_mode=0, gamma=1.0),
+        use_neus=False, tracer="sphere",
+        sphere_tracer=SphereTracerConfig(object_bounding_sphere=1.0,
+                                         n_steps=64))
+    params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    return Stage2Model(params, cfg)  # no grid needed
+
+
+def test_idr_geometric_init_sphere(idr_model):
+    """The IDR implicit net (geometric init) is a monotone sphere-like
+    field in stage-2 coords — no coordinate rescale, unlike the NeuS
+    bridge (its sphere is at bias/coord_scale instead)."""
+    x = jnp.array([[0.0, 0.0, 0.0], [0.9, 0.0, 0.0], [0.0, 0.9, 0.0]])
+    s = np.asarray(idr_model.sdf(x))[:, 0]
+    assert s[0] < -0.2 and s[1] > 0.1 and s[2] > 0.1
+
+
+def test_idr_sphere_tracer_hits(idr_model):
+    inp = _input_batch(24)
+    o = jnp.asarray(np.tile(np.array([[0, 0, 1.6]], np.float32), (24, 1)))
+    d = _input_batch(24)["points"] * 0.2 - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dists, hit, x = idr_model.trace(o, d)
+    assert bool(hit.any())
+    s = np.asarray(idr_model.sdf(x[hit]))
+    assert np.abs(s).max() < 5e-3  # converged on the zero level set
+
+
+def test_idr_forward_material(idr_model):
+    """Full stage-2 forward through the IDR pair + sphere tracer."""
+    inp = _input_batch(24)
+    inp["points"] = jnp.asarray(
+        np.tile(np.array([[0, 0, 1.6]], np.float32), (24, 1)))
+    d = _input_batch(24)["points"] * 0.2 - inp["points"]
+    inp["dirs"] = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    out = stage2_forward(idr_model, jax.random.PRNGKey(1), inp,
+                         trainstage="Material")
+    assert bool(out["network_object_mask"].any())
+    for k in ("sg_rgb", "indir_rgb", "diffuse_albedo", "normals"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    # the rendering network (borrow_color path) is reachable too
+    c = idr_model.borrow_color(out["points"][:4], inp["dirs"][:4])
+    assert c.shape == (4, 3) and np.isfinite(np.asarray(c)).all()

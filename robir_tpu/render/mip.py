@@ -5,8 +5,9 @@ Parity: ``neus/volume_render/mip_render.py`` — conical-frustum Gaussians
 stratified sampling (``sample_along_rays:311-350``), blurpool resampling
 (``resample_along_rays:419-461``), sorted piecewise-constant PDF inversion
 (``sorted_piecewise_constant_pdf:353-416``), density compositing
-(``density_process:42-84``), and the n-level ``render_mip`` loop
-(``:201-226``; the deprecated 'sim' mode is intentionally not reproduced).
+(``density_process:42-84``), the 'sim'/'sdf'/'raw' compositor family
+(``similarity_process:87-198``), and the n-level ``render_mip`` loop
+(``:201-226``).
 """
 
 from __future__ import annotations
@@ -139,6 +140,9 @@ class MipRenderConfig:
     density_activation: str = "softplus"  # softplus | relu
     white_bkgd: bool = True
     stop_level_grad: bool = True
+    # 'mip' = density compositing; 'sim'/'sdf'/'raw' = similarity_process
+    # sub-modes (mip_render.py:203)
+    mode: str = "mip"
 
 
 def density_process(raw_rgb, raw_density, t_vals, rays_d,
@@ -171,6 +175,93 @@ def density_process(raw_rgb, raw_density, t_vals, rays_d,
             "weights": weights, "sim_or_grad": jnp.ones_like(alpha)}
 
 
+def similarity_process(raw_rgb, raw_density, means, t_vals, rays_d,
+                       cfg: MipRenderConfig, mode: str = "sim",
+                       model=None, cos_anneal_ratio: float = 1.0,
+                       key=None, raw_noise_std: float = 0.0):
+    """The reference's 'sim' compositor family (mip_render.py:87-198).
+
+    Three sub-modes on the raw density channel(s):
+    - 'sim': alpha from the cosine similarity of adjacent per-sample
+      feature vectors (relu(1 - relu(sim + 0.5))), rgb from segment
+      midpoints (:113-126);
+    - 'sdf': NeuS-style section CDF compositing over an SDF channel with
+      an eikonal term (:128-175). ``model`` must expose
+      ``grad(x)``/``dev(x)``/``radius()``; the reference's call-counting
+      auto-anneal (:141-146, a stateful function attribute) is replaced by
+      the explicit ``cos_anneal_ratio`` argument — stateful op counters
+      don't exist under jit;
+    - otherwise: vanilla relu raw2alpha (:176-178).
+
+    Returns the same dict shape as :func:`density_process`, with the
+    similarity (or the eikonal gradient error) in ``sim_or_grad``.
+    """
+    rgb = jax.nn.sigmoid(raw_rgb)
+    dists = t_vals[..., 1:] - t_vals[..., :-1]
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+    if raw_density.ndim == 3 and raw_density.shape[-1] == 1:
+        raw_density = raw_density[..., 0]
+
+    noise = 0.0
+    if raw_noise_std > 0.0 and key is not None:
+        noise = jax.random.normal(key, raw_density.shape) * raw_noise_std
+
+    if "sim" in mode:
+        sig = raw_density if raw_density.ndim == 3 else raw_density[..., None]
+        a_sig, b_sig = sig[:, :-1], sig[:, 1:]
+        sim = jnp.sum(a_sig * b_sig, -1) / (
+            jnp.linalg.norm(a_sig, axis=-1) + 1e-3) / (
+            jnp.linalg.norm(b_sig, axis=-1) + 1e-3)
+        sim = jnp.concatenate([sim, sim[:, -1:]], 1)
+        alpha = jax.nn.relu(1.0 - jax.nn.relu(sim + 0.5))
+        rgb = (rgb[:, 1:] + rgb[:, :-1]) / 2.0
+        rgb = jnp.concatenate([rgb, rgb[:, -1:]], 1)
+        sim_or_grad = sim
+    elif "sdf" in mode:
+        batch_size, n_samples = means.shape[0], means.shape[1]
+        sdf = raw_density
+        flat = means.reshape(-1, 3)
+        gradients = model.grad(flat).reshape(batch_size, n_samples, 3)
+        inv_s = jnp.broadcast_to(model.dev(flat).reshape(
+            batch_size, n_samples), (batch_size, n_samples))
+        dirs = jnp.broadcast_to(rays_d[:, None, :], means.shape)
+        true_cos = jnp.sum(dirs * gradients, -1)
+        iter_cos = -(jax.nn.relu(-true_cos * 0.5 + 0.5)
+                     * (1.0 - cos_anneal_ratio)
+                     + jax.nn.relu(-true_cos) * cos_anneal_ratio)
+        est_next = sdf + iter_cos * dists * 0.5
+        est_prev = sdf - iter_cos * dists * 0.5
+        prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+        next_cdf = jax.nn.sigmoid(est_next * inv_s)
+        alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5),
+                         0.0, 1.0)
+        pts_norm = jnp.linalg.norm(means, axis=-1)
+        radius = model.radius()
+        inside = jax.lax.stop_gradient(
+            (pts_norm < radius).astype(alpha.dtype))
+        relax_inside = jax.lax.stop_gradient(
+            (pts_norm < radius * 1.2).astype(alpha.dtype))
+        alpha = alpha * inside
+        grad_norm = jnp.sqrt(jnp.sum(gradients ** 2, axis=-1) + 1e-12)
+        sim_or_grad = jnp.sum(relax_inside * (grad_norm - 1.0) ** 2) / (
+            jnp.sum(relax_inside) + 1e-5)
+    else:
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(raw_density + noise) * dists)
+        sim_or_grad = jnp.ones_like(alpha)
+
+    trans = jnp.cumprod(jnp.concatenate(
+        [jnp.ones((alpha.shape[0], 1)), 1.0 - alpha + 1e-10], -1), -1)
+    weights = alpha * trans[:, :-1]
+    rgb_map = jnp.sum(weights[..., None] * rgb, -2)
+    mid_z = (t_vals[:, 1:] + t_vals[:, :-1]) / 2.0
+    depth_map = jnp.sum(weights * mid_z, -1)
+    acc_map = jnp.sum(weights, -1)
+    if cfg.white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+    return {"rgb": rgb_map, "dist": depth_map, "acc": acc_map,
+            "weights": weights, "sim_or_grad": sim_or_grad}
+
+
 # model_fn(means [B,S,3], covs_diag [B,S,3], viewdirs [B,3]) -> (raw_rgb, raw_density)
 MipModelFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray],
                       tuple[jnp.ndarray, jnp.ndarray]]
@@ -178,9 +269,15 @@ MipModelFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray],
 
 def render_mip(key: Optional[jax.Array], rays: Rays, model_fn: MipModelFn,
                cfg: MipRenderConfig = MipRenderConfig(),
-               is_eval: bool = False) -> list[dict]:
+               is_eval: bool = False, model=None,
+               cos_anneal_ratio: float = 1.0) -> list[dict]:
     """n-level coarse-to-fine render loop (mip_render.py:201-226).
-    Returns the per-level output list (last entry is the fine render)."""
+    Returns the per-level output list (last entry is the fine render).
+
+    ``cfg.mode``: 'mip' composites densities (density_process); any other
+    value routes through :func:`similarity_process` with that sub-mode
+    (reference dispatch at mip_render.py:203). The 'sdf' sub-mode needs
+    ``model`` (grad/dev/radius)."""
     randomized = not is_eval
     ret = []
     t_vals = None
@@ -200,7 +297,14 @@ def render_mip(key: Optional[jax.Array], rays: Rays, model_fn: MipModelFn,
                 weights, randomized, cfg.stop_level_grad,
                 cfg.resample_padding)
         raw_rgb, raw_density = model_fn(means, covs, rays.viewdirs)
-        out = density_process(raw_rgb, raw_density, t_vals, rays.directions, cfg)
+        if cfg.mode == "mip":
+            out = density_process(raw_rgb, raw_density, t_vals,
+                                  rays.directions, cfg)
+        else:
+            out = similarity_process(raw_rgb, raw_density, means, t_vals,
+                                     rays.directions, cfg, mode=cfg.mode,
+                                     model=model,
+                                     cos_anneal_ratio=cos_anneal_ratio)
         out["means"] = means
         weights = out["weights"]
         ret.append(out)

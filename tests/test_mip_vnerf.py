@@ -184,3 +184,141 @@ def test_hash_sdf_field():
     assert out.shape == (40, 17)
     g = jax.grad(lambda p: jnp.sum(hash_sdf_apply(p, cfg, x) ** 2))(params)
     assert float(jnp.abs(g["hash"]["tables"]).sum()) > 0
+
+
+class TestSimilarityProcessParity:
+    """'sim'/'sdf'/'raw' compositors vs reference similarity_process
+    (mip_render.py:87-198). VERDICT r1 #10."""
+
+    def _inputs(self, c_density=8, seed=0):
+        rng = np.random.default_rng(seed)
+        B, S = 5, 12
+        raw_rgb = rng.standard_normal((B, S, 3)).astype(np.float32)
+        raw_density = rng.standard_normal((B, S, c_density)).astype(np.float32)
+        t_vals = np.sort(rng.uniform(1.0, 5.0, (B, S + 1)).astype(np.float32), -1)
+        d = rng.standard_normal((B, 3)).astype(np.float32)
+        means = rng.standard_normal((B, S, 3)).astype(np.float32) * 0.6
+        return raw_rgb, raw_density, t_vals, d, means
+
+    @pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+    def test_sim_mode(self):
+        from tests.ref_loader import import_neus_module, patch_torch_cpu
+        patch_torch_cpu()
+        import torch
+        ref = import_neus_module("volume_render.mip_render")
+        raw_rgb, raw_density, t_vals, d, means = self._inputs()
+
+        want = ref.similarity_process(
+            torch.from_numpy(raw_rgb), torch.from_numpy(raw_density),
+            torch.from_numpy(means), None, torch.from_numpy(t_vals),
+            torch.from_numpy(d), raw_noise_std=0.0, white_bkgd=True,
+            mode="sim")
+        cfg = mip.MipRenderConfig(white_bkgd=True, mode="sim")
+        got = mip.similarity_process(
+            jnp.asarray(raw_rgb), jnp.asarray(raw_density),
+            jnp.asarray(means), jnp.asarray(t_vals), jnp.asarray(d), cfg,
+            mode="sim")
+        for k in ("rgb", "dist", "acc", "weights", "sim_or_grad"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       want[k].detach().numpy(),
+                                       rtol=2e-5, atol=1e-5, err_msg=k)
+
+    @pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+    def test_raw_mode(self):
+        from tests.ref_loader import import_neus_module, patch_torch_cpu
+        patch_torch_cpu()
+        import torch
+        ref = import_neus_module("volume_render.mip_render")
+        raw_rgb, raw_density, t_vals, d, means = self._inputs(c_density=1)
+        raw_density = raw_density[..., 0]
+
+        want = ref.similarity_process(
+            torch.from_numpy(raw_rgb), torch.from_numpy(raw_density),
+            torch.from_numpy(means), None, torch.from_numpy(t_vals),
+            torch.from_numpy(d), raw_noise_std=0.0, white_bkgd=False,
+            mode="raw")
+        cfg = mip.MipRenderConfig(white_bkgd=False, mode="raw")
+        got = mip.similarity_process(
+            jnp.asarray(raw_rgb), jnp.asarray(raw_density),
+            jnp.asarray(means), jnp.asarray(t_vals), jnp.asarray(d), cfg,
+            mode="raw")
+        for k in ("rgb", "dist", "acc", "weights"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       want[k].detach().numpy(),
+                                       rtol=2e-5, atol=1e-5, err_msg=k)
+
+    @pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+    def test_sdf_mode(self):
+        """NeuS-style section compositing: analytic sphere SDF stand-in;
+        reference auto-anneal starts at ratio 0 (mip_render.py:141-146),
+        so cos_anneal_ratio=0 matches the first reference call."""
+        from tests.ref_loader import import_neus_module, patch_torch_cpu
+        patch_torch_cpu()
+        import torch
+        ref = import_neus_module("volume_render.mip_render")
+        raw_rgb, _, t_vals, d, means = self._inputs(c_density=1)
+        B, S = means.shape[:2]
+        sdf_np = (np.linalg.norm(means, axis=-1) - 0.5).astype(np.float32)
+
+        class TorchSphere:
+            def grad(self, x):
+                return x / torch.linalg.norm(x, dim=-1, keepdim=True)
+
+            def dev(self, x):
+                return torch.full((x.shape[0], 1), 20.0)
+
+            def radius(self):
+                return 1.0
+
+        class JaxSphere:
+            def grad(self, x):
+                return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+            def dev(self, x):
+                return jnp.full((x.shape[0], 1), 20.0)
+
+            def radius(self):
+                return 1.0
+
+        # fresh auto-anneal state
+        if hasattr(ref.similarity_process, "__cos_anneal_ratio"):
+            delattr(ref.similarity_process, "__cos_anneal_ratio")
+        want = ref.similarity_process(
+            torch.from_numpy(raw_rgb), torch.from_numpy(sdf_np),
+            torch.from_numpy(means), TorchSphere(),
+            torch.from_numpy(t_vals), torch.from_numpy(d),
+            raw_noise_std=0.0, white_bkgd=True, mode="sdf")
+        cfg = mip.MipRenderConfig(white_bkgd=True, mode="sdf")
+        got = mip.similarity_process(
+            jnp.asarray(raw_rgb), jnp.asarray(sdf_np), jnp.asarray(means),
+            jnp.asarray(t_vals), jnp.asarray(d), cfg, mode="sdf",
+            model=JaxSphere(), cos_anneal_ratio=0.0)
+        for k in ("rgb", "dist", "acc", "weights"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       want[k].detach().numpy(),
+                                       rtol=2e-5, atol=1e-5, err_msg=k)
+        # analytic unit normals -> eikonal error is fp noise on both sides
+        np.testing.assert_allclose(float(got["sim_or_grad"]),
+                                   float(want["sim_or_grad"]),
+                                   rtol=1e-4, atol=1e-9)
+
+    def test_render_mip_sim_mode_end_to_end(self):
+        """cfg.mode='sim' routes the full loop through similarity_process."""
+        o, dirs, v, radii, ones = _rand_rays()
+        rays = Rays(jnp.asarray(o), jnp.asarray(dirs), jnp.asarray(v),
+                    jnp.asarray(radii), jnp.asarray(ones),
+                    jnp.asarray(ones * 1.0), jnp.asarray(ones * 5.0))
+
+        def model_fn(means, covs, viewdirs):
+            B, S = means.shape[:2]
+            rgb = jnp.tanh(means)
+            sig = jnp.concatenate([means, means ** 2], -1)
+            return rgb, sig
+
+        cfg = mip.MipRenderConfig(num_samples=16, mode="sim")
+        ret = jax.jit(lambda k: mip.render_mip(k, rays, model_fn, cfg))(
+            jax.random.PRNGKey(0))
+        assert len(ret) == cfg.n_levels
+        for out in ret:
+            assert np.isfinite(np.asarray(out["rgb"])).all()
+            assert out["sim_or_grad"].shape == out["weights"].shape

@@ -110,6 +110,8 @@ def main_pbr():
 
 
 def main_neus():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -117,7 +119,15 @@ def main_neus():
     from robir_tpu.fields.neus_model import NeuS, NeuSConfig, init_neus
     from robir_tpu.render.neus import NeusRenderConfig, Rays, render_neus
 
+    # the shipped TPU training config (configs/neus_blender.json): bf16
+    # activation storage on the HBM-bandwidth-bound trunks, fp32 weights
+    # and accumulation — quality-neutral in the 1500-step A/B recorded in
+    # STATUS.md; same workload semantics as the reference constants.
     cfg = NeuSConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        sdf=dataclasses.replace(cfg.sdf, storage_dtype="bfloat16"),
+        color=dataclasses.replace(cfg.color, storage_dtype="bfloat16"))
     rcfg = NeusRenderConfig(n_samples=64, n_importance=64, up_sample_steps=4)
     params = init_neus(jax.random.PRNGKey(0), cfg)
     opt = optax.adam(5e-4)

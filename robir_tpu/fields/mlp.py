@@ -51,15 +51,29 @@ def init_linear(key: jax.Array, in_dim: int, out_dim: int, *,
 
 
 def apply_linear(params: Params, x: jnp.ndarray,
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None, storage_dtype=None) -> jnp.ndarray:
     """``compute_dtype`` (e.g. bfloat16) runs the matmul on low-precision
     operands with fp32 accumulation — used for tolerance-insensitive paths
-    like no-grad importance sampling."""
+    like no-grad importance sampling.
+
+    ``storage_dtype`` (e.g. bfloat16) additionally RETURNS the layer output
+    in that dtype, so inter-layer activations — and, crucially, the
+    residuals autodiff saves for the backward pass — live in HBM at half
+    width. On the v5e the big dense sweeps are HBM-bandwidth-bound (the
+    matmul passes are already bf16 at DEFAULT precision), so this is the
+    lever that actually moves the train step: measured 21.5 -> 14.9 ms on
+    the NeuS step (fp32 weights, fp32 MXU accumulate in both cases)."""
     if "v" in params:
         v = params["v"]
         w = v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
     else:
         w = params["w"]
+    if storage_dtype is not None:
+        y = jax.lax.dot_general(x.astype(storage_dtype),
+                                w.astype(storage_dtype),
+                                (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=storage_dtype)
+        return y + params["b"].astype(storage_dtype)
     if compute_dtype is not None:
         y = jax.lax.dot_general(x.astype(compute_dtype), w.astype(compute_dtype),
                                 (((x.ndim - 1,), (0,)), ((), ())),

@@ -32,6 +32,13 @@ class RenderingConfig:
     weight_norm: bool = True
     multires_view: int = 4
     squeeze_out: bool = True
+    # bf16 inter-layer activation storage (see fields/sdf.SDFConfig):
+    # halves the color sweep's HBM traffic; outputs return fp32
+    storage_dtype: str | None = None
+
+    @property
+    def store(self):
+        return jnp.bfloat16 if self.storage_dtype == "bfloat16" else None
 
     @property
     def effective_d_in(self) -> int:
@@ -79,9 +86,10 @@ def rendering_apply(params: Params, cfg: RenderingConfig, points: jnp.ndarray,
         h = jnp.concatenate([points, view_dirs, normals, feature_vectors], axis=-1)
     n = len(cfg.dims)
     for i in range(n - 1):
-        h = apply_linear(params[f"lin{i}"], h)
+        h = apply_linear(params[f"lin{i}"], h, storage_dtype=cfg.store)
         if i < n - 2:
             h = jax.nn.relu(h)
+    h = h.astype(jnp.float32)
     if cfg.use_sigmoid:
         h = jax.nn.sigmoid(h)
     return h

@@ -46,6 +46,16 @@ class SDFConfig:
     # train step needs), so leave off for exotic higher-order uses.
     fused_kernel: bool = False
     fused_block_rows: int = 256
+    # store inter-layer activations (and the residuals autodiff saves for
+    # backward) in this dtype — "bfloat16" halves the trunk's HBM traffic,
+    # the v5e bottleneck (matmul passes are bf16 at DEFAULT precision
+    # either way; weights and MXU accumulation stay fp32-mastered).
+    # PE encoding and the returned outputs remain fp32.
+    storage_dtype: str | None = None
+
+    @property
+    def store(self):
+        return jnp.bfloat16 if self.storage_dtype == "bfloat16" else None
 
     @property
     def pe(self) -> PEConfig:
@@ -136,12 +146,16 @@ def sdf_apply(params: Params, cfg: SDFConfig, x: jnp.ndarray,
         return jnp.concatenate([h[..., :1] / cfg.scale, h[..., 1:]], axis=-1)
     h = inputs
     num_layers = len(cfg.dims)
+    store = cfg.store
     for layer in range(num_layers - 1):
         if layer in cfg.skip_in:
-            h = jnp.concatenate([h, inputs], axis=-1) / np.sqrt(2)
-        h = apply_linear(params[f"lin{layer}"], h, compute_dtype)
+            h = jnp.concatenate([h, inputs.astype(h.dtype)],
+                                axis=-1) * jnp.asarray(1.0 / np.sqrt(2),
+                                                       h.dtype)
+        h = apply_linear(params[f"lin{layer}"], h, compute_dtype, store)
         if layer < num_layers - 2:
             h = softplus_beta(h, 100.0)
+    h = h.astype(jnp.float32)
     return jnp.concatenate([h[..., :1] / cfg.scale, h[..., 1:]], axis=-1)
 
 

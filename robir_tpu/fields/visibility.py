@@ -29,6 +29,15 @@ class VisNetConfig:
     points_multires: int = 10
     dirs_multires: int = 4
     dims: tuple[int, ...] = (128, 128, 128, 128)
+    # bf16 inter-layer activation storage (see fields/sdf.SDFConfig):
+    # halves the sweep's HBM traffic without the dual-precision copies the
+    # operand-only compute_dtype path produced (r1 OOM); logits return fp32
+    storage_dtype: str | None = None
+
+    @property
+    def store(self):
+        import jax.numpy as _jnp
+        return _jnp.bfloat16 if self.storage_dtype == "bfloat16" else None
 
     @property
     def p_pe(self) -> PEConfig:
@@ -56,10 +65,10 @@ def visnet_apply(params: Params, cfg: VisNetConfig, points: jnp.ndarray,
     h = jnp.concatenate([p, d], axis=-1)
     n = len(cfg.dims) + 1
     for i in range(n):
-        h = apply_linear(params[f"lin{i}"], h, compute_dtype)
+        h = apply_linear(params[f"lin{i}"], h, compute_dtype, cfg.store)
         if i < n - 1:
             h = jax.nn.relu(h)
-    return h
+    return h.astype(jnp.float32)
 
 
 @dataclasses.dataclass(frozen=True)

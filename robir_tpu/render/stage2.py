@@ -390,8 +390,17 @@ def trace_radiance(model: Stage2Model, key: jax.Array, forward_out: dict,
     sample_dirs = spherical_uniform(k_dirs, (n, nsamp))  # [N, S, 3]
     back_cull = jnp.sum(normals[:, None, :] * sample_dirs, -1) < 0
 
-    # secondary intersections (no grad) from just off the surface
-    origins = points + normals * 0.005
+    # secondary intersections (no grad) from just off the surface. The
+    # reference uses a fixed 0.005 bias (trace_radiance:608); against the
+    # cached-SDF grid that must also clear the tracer's hit epsilon
+    # (hit_eps_cells * cell) or grazing front-facing rays re-hit their own
+    # surface: measured 34% false-occluded labels at grid resolution 64 —
+    # the source of the round-1 Vis under-confidence.
+    offset = 0.005
+    if model.cfg.tracer == "grid":
+        offset = max(offset, 2.0 * model.cfg.grid.hit_eps_cells
+                     * model.cfg.grid.cell)
+    origins = points + normals * offset
     o_flat = jnp.broadcast_to(origins[:, None, :], (n, nsamp, 3)).reshape(-1, 3)
     d_flat = sample_dirs.reshape(-1, 3)
     if shard_fan:

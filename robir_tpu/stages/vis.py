@@ -58,7 +58,7 @@ def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
             fwd = stage2_forward(model, k_fwd, inp, trainstage="Illum")
             trace = trace_radiance(model, k_trace, fwd, nsamp=stage_cfg.nsamp,
                                    shard_fan=stage_cfg.shard_fan)
-            return illum_loss(
+            rad, vis = illum_loss(
                 stage_cfg.loss,
                 indirect_sgs=fwd["indirect_sgs"],
                 indir_integral=fwd["indir_integral"],
@@ -71,13 +71,32 @@ def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
                 gt_integral=trace["gt_integral"],
                 anneal_t=stage_cfg.anneal_t)
 
-        # visibility loss -> vis net only (aux carries the radiance loss)
-        (vis_loss, _), vis_grads = jax.value_and_grad(
-            lambda vp: tuple(reversed(run_model(vp, illum_params))),
+            # confidence diagnostics (round-1 pathology was an invisible
+            # ~0.35 mean vis at lit points): mean P(visible) over labeled
+            # front-facing lit dirs and labeled occluded dirs
+            p_vis = jax.nn.softmax(trace["pred_vis"], axis=-1)[..., 1]
+            nrm = fwd["normals"]
+            nrm = nrm / jnp.clip(
+                jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-4, None)
+            front = jnp.sum(nrm[:, None, :] * trace["sample_dirs"], -1) > 0
+            surf = fwd["network_object_mask"][:, None]
+            lit = surf & front & ~trace["gt_vis"]
+            occ = surf & trace["gt_vis"]
+            mean_in = lambda m: (jnp.sum(p_vis * m) /      # noqa: E731
+                                 jnp.clip(jnp.sum(m), 1.0, None))
+            diag = {"vis_conf_lit": mean_in(lit.astype(jnp.float32)),
+                    "vis_conf_occ": mean_in(occ.astype(jnp.float32))}
+            return rad, vis, diag
+
+        # visibility loss -> vis net only (aux carries radiance + diag)
+        (vis_loss, (rad_loss, diag)), vis_grads = jax.value_and_grad(
+            lambda vp: (lambda r, v, d: (v, (r, d)))(
+                *run_model(vp, illum_params)),
             has_aux=True)(vis_params)
         # radiance loss -> indirect net only
-        (rad_loss, _), illum_grads = jax.value_and_grad(
-            lambda ip: run_model(vis_params, ip), has_aux=True)(illum_params)
+        (_, _), illum_grads = jax.value_and_grad(
+            lambda ip: (lambda r, v, d: (r, v))(
+                *run_model(vis_params, ip)), has_aux=True)(illum_params)
 
         v_updates, vis_state = vis_opt.update(vis_grads, vis_state, vis_params)
         vis_params = optax.apply_updates(vis_params, v_updates)
@@ -85,7 +104,7 @@ def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
                                                   illum_params)
         illum_params = optax.apply_updates(illum_params, i_updates)
         return vis_params, illum_params, vis_state, illum_state, {
-            "radiance_loss": rad_loss, "visibility_loss": vis_loss}
+            "radiance_loss": rad_loss, "visibility_loss": vis_loss, **diag}
 
     return step
 

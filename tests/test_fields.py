@@ -189,3 +189,61 @@ def test_neus_facade_shapes():
     c = model.color(x, model.grad(x), x, f)
     assert c.shape == (10, 3)
     assert float(model.inv_s()) > 0
+
+
+class TestStorageDtype:
+    """bf16 activation-storage mode (fields/mlp.apply_linear storage_dtype):
+    the TPU-shipped config. Outputs stay fp32; values match the fp32 path
+    to bf16 rounding; gradients flow."""
+
+    def test_sdf_close_and_fp32_out(self):
+        import dataclasses
+        from robir_tpu.fields.sdf import (SDFConfig, init_sdf, sdf_apply,
+                                          sdf_full_and_gradient)
+        cfg = SDFConfig(d_out=33, d_hidden=64, n_layers=4, skip_in=(2,),
+                        multires=4)
+        p = init_sdf(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3),
+                               minval=-1.0, maxval=1.0)
+        bcfg = dataclasses.replace(cfg, storage_dtype="bfloat16")
+        a = sdf_apply(p, cfg, x)
+        b = sdf_apply(p, bcfg, x)
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-2)
+        # second-order structure still differentiates
+        def loss(pp):
+            full, g = sdf_full_and_gradient(pp, bcfg, x)
+            return (jnp.mean(full[:, 0] ** 2)
+                    + jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2))
+        grads = jax.grad(loss)(p)
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+        assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+    def test_rendering_and_visnet_close(self):
+        import dataclasses
+        from robir_tpu.fields.radiance import (RenderingConfig,
+                                               init_rendering,
+                                               rendering_apply)
+        from robir_tpu.fields.visibility import (VisNetConfig, init_visnet,
+                                                 visnet_apply)
+        rc = RenderingConfig(d_feature=32, d_hidden=64, n_layers=3)
+        rp = init_rendering(jax.random.PRNGKey(0), rc)
+        n = 64
+        pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+        nrm = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+        feat = jax.random.normal(jax.random.PRNGKey(2), (n, 32)) * 0.1
+        a = rendering_apply(rp, rc, pts, nrm, nrm, feat)
+        b = rendering_apply(
+            rp, dataclasses.replace(rc, storage_dtype="bfloat16"),
+            pts, nrm, nrm, feat)
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+        vc = VisNetConfig(points_multires=4, dirs_multires=4, dims=(64, 64))
+        vp = init_visnet(jax.random.PRNGKey(3), vc)
+        a = visnet_apply(vp, vc, pts, nrm)
+        b = visnet_apply(
+            vp, dataclasses.replace(vc, storage_dtype="bfloat16"), pts, nrm)
+        assert b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)

@@ -135,6 +135,10 @@ def mip_render_binding(model_cfg, render_cfg):
             return vnerf_apply(params, model_cfg, means, viewdirs)
 
         out = render_mip(key, rays, model_fn, render_cfg, is_eval=is_eval)[-1]
+        if getattr(render_cfg, "mode", "mip") != "mip":
+            # similarity regularizer input (reference trainer.py:129 feeds
+            # ret['sim_or_grad'] to similarity_reg)
+            out["similarity"] = out["sim_or_grad"]
         return out
 
     return render_fn

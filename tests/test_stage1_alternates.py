@@ -94,3 +94,31 @@ def test_unknown_types_rejected(tmp_path, scene_dir):
     from robir_tpu.stages.neus_stage import make_stage1_bindings
     with pytest.raises(KeyError, match="unsupported"):
         make_stage1_bindings("vnerf", "neus", None, None)
+
+
+def test_mip_sim_mode_with_similarity_reg(tmp_path, scene_dir, capsys):
+    """render.mode='sim' routes through similarity_process and the
+    previously-dormant similarity regularizer goes live (reference
+    trainer.py:129 similarity_reg over ret['sim_or_grad'])."""
+    import re
+    conf = {
+        "model": {"type": "vnerf", "depth": 3, "width": 48, "multires": 4,
+                  "multires_view": 2, "skips": [], "use_ipe": False},
+        "render": {"type": "mip", "n_levels": 2, "num_samples": 16,
+                   "mode": "sim"},
+        "train": {"batch_size": 128, "max_steps": 300, "lr_init": 5e-4,
+                  "lr_delay_steps": 0, "eval_chunk": 256,
+                  "eikonal_weight": 0.0, "silhouette_weight": 0.0,
+                  "similarity_weight": 1e-4},
+        "dataset": {"batch_size": 128},
+    }
+    import json as jsonlib
+    cp = tmp_path / "conf.json"
+    cp.write_text(jsonlib.dumps(conf))
+    cli.main(["neus", "--conf", str(cp), "--data", scene_dir,
+              "--log_dir", str(tmp_path / "logs"), "--n_iters", "150"])
+    out = capsys.readouterr().out
+    mses = [float(m) for m in re.findall(r"mse=([0-9.e+-]+)", out)]
+    sims = [float(m) for m in re.findall(r"similarity=([0-9.e+-]+)", out)]
+    assert np.isfinite(mses).all() and len(sims) >= 1, out
+    assert np.isfinite(sims).all()

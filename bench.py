@@ -52,6 +52,8 @@ def main_pbr():
     """Secondary metric: PBR-stage training throughput at reference scale
     (1024 px/iter, 128 light SGs; hotdog.conf:9,94-108). Select with
     ROBIR_BENCH_STAGE=pbr."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +64,12 @@ def main_pbr():
                                                 split_params)
     from robir_tpu.tracing.grid import build_sdf_grid
 
+    # shipped stage-2 config: bf16 activation storage on the visibility
+    # sweep trunk (configs/hotdog.json; losses match fp32 to 4 decimals)
     cfg = Stage2Config()
+    cfg = dataclasses.replace(
+        cfg, visnet=dataclasses.replace(cfg.visnet,
+                                        storage_dtype="bfloat16"))
     params = init_stage2_params(jax.random.PRNGKey(0), cfg)
     grid = build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid)
 

@@ -71,6 +71,50 @@ def visnet_apply(params: Params, cfg: VisNetConfig, points: jnp.ndarray,
     return h.astype(jnp.float32)
 
 
+def visnet_outer_apply(params: Params, cfg: VisNetConfig,
+                       points: jnp.ndarray, dirs: jnp.ndarray,
+                       compute_dtype=None) -> jnp.ndarray:
+    """Outer-product sweep: points [N, 3] x dirs [K, 3] -> logits [N, K, 2].
+
+    Same math as :func:`visnet_apply` on the broadcasted (point, dir) grid,
+    exploiting that the first layer's input is a concat of per-point and
+    per-dir encodings: W0 splits into point rows and dir rows, so the first
+    matmul runs on N + K rows instead of N*K, and nothing of size [N, K]
+    exists until the first hidden width. This removes both the
+    pathologically-padded [N, K, 3] broadcast inputs (42x tile padding for
+    bf16 minor-dim-3 layouts on TPU — compile-time OOM) and the redundant
+    first-layer FLOPs of the dense sweep in render/sg.get_diffuse_visibility
+    (reference semantics: sg_render.py:111-195).
+    """
+    p = positional_encoding(points, cfg.p_pe)   # [N, Dp]
+    d = positional_encoding(dirs, cfg.d_pe)     # [K, Dd]
+    l0 = params["lin0"]
+    if "v" in l0:
+        v = l0["v"]
+        w0 = v * (l0["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
+    else:
+        w0 = l0["w"]
+    wp, wd = w0[: p.shape[-1]], w0[p.shape[-1]:]
+    store = cfg.store
+    dt = store or compute_dtype
+    if dt is not None:
+        p, wp = p.astype(dt), wp.astype(dt)
+        d, wd = d.astype(dt), wd.astype(dt)
+    acc = dt if store is not None else jnp.float32
+    hp = jax.lax.dot_general(p, wp, (((1,), (0,)), ((), ())),
+                             preferred_element_type=acc)       # [N, H]
+    hd = jax.lax.dot_general(d, wd, (((1,), (0,)), ((), ())),
+                             preferred_element_type=acc)       # [K, H]
+    hd = hd + l0["b"].astype(hd.dtype)
+    h = jax.nn.relu(hp[:, None, :] + hd[None, :, :])            # [N, K, H]
+    n = len(cfg.dims) + 1
+    for i in range(1, n):
+        h = apply_linear(params[f"lin{i}"], h, compute_dtype, store)
+        if i < n - 1:
+            h = jax.nn.relu(h)
+    return h.astype(jnp.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class IndirIllumConfig:
     multires: int = 10

@@ -208,7 +208,8 @@ def get_diffuse_visibility(key: jax.Array, points: jnp.ndarray, normals: jnp.nda
                            vis_fn: VisFn, lgt_lobes: jnp.ndarray,
                            lgt_lambdas: jnp.ndarray, nsamp: int = 8,
                            thr: float = 1.0, argmax_vis: bool = False,
-                           chunk_lights: int = 0) -> jnp.ndarray:
+                           chunk_lights: int = 0,
+                           vis_outer_fn=None) -> jnp.ndarray:
     """SG-weighted mean visibility toward each light lobe.
 
     Parity: sg_render.py:111-195. Dense TPU variant: the MLP runs on every
@@ -234,9 +235,13 @@ def get_diffuse_visibility(key: jax.Array, points: jnp.ndarray, normals: jnp.nda
         m = sd.shape[0]
         dirs = sd.reshape(-1, 3)  # [m*S, 3]
         cos_term = jnp.einsum("nd,kd->nk", normals, dirs) > TINY  # [N, m*S]
-        p_in = jnp.broadcast_to(points[:, None, :], (N, m * nsamp, 3))
-        d_in = jnp.broadcast_to(dirs[None, :, :], (N, m * nsamp, 3))
-        logits = vis_fn(p_in, d_in)  # [N, m*S, 2]
+        if vis_outer_fn is not None:
+            # factorized first layer: no [N, m*S, 3] broadcasts
+            logits = vis_outer_fn(points, dirs)  # [N, m*S, 2]
+        else:
+            p_in = jnp.broadcast_to(points[:, None, :], (N, m * nsamp, 3))
+            d_in = jnp.broadcast_to(dirs[None, :, :], (N, m * nsamp, 3))
+            logits = vis_fn(p_in, d_in)  # [N, m*S, 2]
         if argmax_vis:
             pred = jnp.argmax(logits, axis=-1).astype(points.dtype)
         else:
@@ -403,6 +408,7 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
                    specular_reflectance: jnp.ndarray, roughness: jnp.ndarray,
                    diffuse_albedo: jnp.ndarray, *,
                    comp_vis: bool = True, vis_fn: Optional[VisFn] = None,
+                   vis_outer_fn=None,
                    lin_diff: bool = False, indir_integral: Optional[jnp.ndarray] = None,
                    metallic: Optional[jnp.ndarray] = None,
                    diffuse_vis: Optional[jnp.ndarray] = None,
@@ -442,7 +448,8 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
         light_vis_gt = get_diffuse_visibility(
             k_diff, points, jax.lax.stop_gradient(normal), vis_fn,
             lgt_lobes[0], lgt_lambdas[0, :, 0], nsamp=nsamp,
-            argmax_vis=argmax_vis, chunk_lights=diffuse_sweep_chunk)  # [M, N]
+            argmax_vis=argmax_vis, chunk_lights=diffuse_sweep_chunk,
+            vis_outer_fn=vis_outer_fn)  # [M, N]
         light_vis_gt = jnp.broadcast_to(light_vis_gt.T[..., None], (N, M, 3))
 
         if diffuse_vis is not None:
@@ -525,6 +532,7 @@ class AllSGOutput(NamedTuple):
 def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
                        specular_reflectance, roughness, diffuse_albedo, *,
                        indir_integral=None, indir_lgt_sgs=None, vis_fn=None,
+                       vis_outer_fn=None,
                        lin_diff=False, metallic=None, diffuse_vis=None,
                        prefit=None, argmax_vis=False,
                        fun_spec=False, diffuse_sweep_chunk=0) -> AllSGOutput:
@@ -535,6 +543,7 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
     direct = render_with_sg(
         k1, points, normal, viewdirs, lgt_sgs, specular_reflectance,
         roughness, diffuse_albedo, comp_vis=True, vis_fn=vis_fn,
+        vis_outer_fn=vis_outer_fn,
         lin_diff=lin_diff, metallic=metallic, diffuse_vis=diffuse_vis,
         prefit=prefit, argmax_vis=argmax_vis, fun_spec=fun_spec,
         diffuse_sweep_chunk=diffuse_sweep_chunk)

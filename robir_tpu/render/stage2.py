@@ -189,6 +189,16 @@ class Stage2Model:
         return visnet_apply(self.params["visibility_network"], self.cfg.visnet,
                             points, dirs, compute_dtype=dtype)
 
+    def vis_logits_outer(self, points, dirs):
+        """Factorized sweep: [N, 3] x [K, 3] -> [N, K, 2] (the diffuse
+        visibility sweep's shape; see fields/visibility.visnet_outer_apply)."""
+        from ..fields.visibility import visnet_outer_apply
+        dtype = (jnp.bfloat16 if self.cfg.vis_compute_dtype == "bfloat16"
+                 else None)
+        return visnet_outer_apply(self.params["visibility_network"],
+                                  self.cfg.visnet, points, dirs,
+                                  compute_dtype=dtype)
+
     def trace(self, origins, dirs):
         """Primary/secondary ray cast -> (t [N], hit [N], x [N,3]).
 
@@ -233,6 +243,7 @@ def default_sg_render(model: Stage2Model, key: jax.Array, points, view_dirs,
         indir_lgt_sgs=indir_lgt_sgs,
         indir_integral=indir_integral,
         vis_fn=model.vis_logits,
+        vis_outer_fn=model.vis_logits_outer,
         lin_diff=lin_diff,
         argmax_vis=argmax_vis,
         diffuse_sweep_chunk=model.cfg.sweep_light_chunk)

@@ -124,6 +124,7 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
         mat.lgt_sgs, jnp.abs(mat.specular_reflectance), mat.roughness,
         mat.diffuse_albedo, indir_lgt_sgs=indir_lgt_sgs,
         indir_integral=indir_integral, vis_fn=model.vis_logits,
+        vis_outer_fn=model.vis_logits_outer,
         lin_diff=True, diffuse_vis=diffuse_vis, prefit=prefit,
         argmax_vis=stage_cfg.argmax_vis)
 

@@ -65,7 +65,8 @@ def pbr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
         jax.lax.stop_gradient(shade_normal), view_dirs, mat.lgt_sgs,
         jnp.abs(mat.specular_reflectance), mat.roughness, mat.diffuse_albedo,
         indir_lgt_sgs=indir_lgt_sgs, indir_integral=indir_integral,
-        vis_fn=model.vis_logits, lin_diff=lin_diff, argmax_vis=argmax_vis)
+        vis_fn=model.vis_logits, vis_outer_fn=model.vis_logits_outer,
+        lin_diff=lin_diff, argmax_vis=argmax_vis)
 
     return {
         "normals": normals,

@@ -247,3 +247,29 @@ class TestStorageDtype:
             vp, dataclasses.replace(vc, storage_dtype="bfloat16"), pts, nrm)
         assert b.dtype == jnp.float32
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2)
+
+    def test_visnet_outer_matches_broadcast(self):
+        """Factorized sweep (first layer on the factors) == dense broadcast
+        evaluation, fp32-exact up to dot reassociation."""
+        from robir_tpu.fields.visibility import (VisNetConfig, init_visnet,
+                                                 visnet_apply,
+                                                 visnet_outer_apply)
+        cfg = VisNetConfig(points_multires=4, dirs_multires=4, dims=(64, 64))
+        p = init_visnet(jax.random.PRNGKey(0), cfg)
+        N, K = 12, 40
+        pts = jax.random.normal(jax.random.PRNGKey(1), (N, 3)) * 0.4
+        dirs = jax.random.normal(jax.random.PRNGKey(2), (K, 3))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        want = visnet_apply(
+            p, cfg,
+            jnp.broadcast_to(pts[:, None, :], (N, K, 3)),
+            jnp.broadcast_to(dirs[None, :, :], (N, K, 3)))
+        got = visnet_outer_apply(p, cfg, pts, dirs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        # bf16-storage variant stays close
+        import dataclasses
+        got16 = visnet_outer_apply(
+            p, dataclasses.replace(cfg, storage_dtype="bfloat16"), pts, dirs)
+        np.testing.assert_allclose(np.asarray(got16), np.asarray(want),
+                                   atol=0.1)

@@ -41,6 +41,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="skip diagnostic plots entirely")
 
 
+def _filter_fields(dc_type, d: dict) -> dict:
+    """Subset of ``d`` accepted by dataclass ``dc_type`` (the dataset dict
+    is shared between the stage-1 Blender loader and the stage-2 SynDataset
+    loader; each takes its own fields)."""
+    import dataclasses as _dc
+    names = {f.name for f in _dc.fields(dc_type)}
+    return {k: v for k, v in d.items() if k in names}
+
+
 def _load(args):
     from .core.config import apply_overrides, load_config
     cfg = load_config(args.conf)
@@ -58,10 +67,13 @@ def _stage2_dataset(data_dir, cfg_dict):
     kind = ds_cfg.pop("type", "syn")
     if kind == "dtu":
         from .data.neus_npz import DTUConfig, DTUSceneDataset
-        return DTUSceneDataset(DTUConfig(data_dir=data_dir, **ds_cfg))
+        return DTUSceneDataset(DTUConfig(
+            data_dir=data_dir, **_filter_fields(DTUConfig, ds_cfg)))
     if kind == "syn":
         from .data.syn_dataset import SynDataset, SynDatasetConfig
-        return SynDataset(SynDatasetConfig(instance_dir=data_dir, **ds_cfg))
+        return SynDataset(SynDatasetConfig(
+            instance_dir=data_dir, **_filter_fields(SynDatasetConfig,
+                                                    ds_cfg)))
     raise KeyError(f"unknown dataset.type {kind!r} (expected 'syn' or 'dtu')")
 
 
@@ -183,8 +195,10 @@ def cmd_neus(args):
                                     model_cfg, render_cfg)
     tc = cfg_dict.get("train", {})
     train_cfg = NeusTrainConfig(**tc)
-    scene = BlenderScene(BlenderConfig(dataset_dir=args.data,
-                                       **cfg_dict.get("dataset", {})), "train")
+    # one config tree serves both stages; the dataset dict may carry
+    # stage-2 (SynDataset) keys — each loader takes its own fields
+    ds = _filter_fields(BlenderConfig, cfg_dict.get("dataset", {}))
+    scene = BlenderScene(BlenderConfig(dataset_dir=args.data, **ds), "train")
     trainer = NeusTrainer(scene, model_cfg, render_cfg, train_cfg,
                           log_dir=os.path.join(args.log_dir, "NeuS"),
                           seed=args.seed, bindings=bindings)
@@ -203,8 +217,7 @@ def cmd_neus(args):
     logger = Logger(os.path.join(args.log_dir, "NeuS"), exp_name="neus")
     try:
         test_scene = BlenderScene(
-            BlenderConfig(dataset_dir=args.data,
-                          **cfg_dict.get("dataset", {})), "test")
+            BlenderConfig(dataset_dir=args.data, **ds), "test")
     except (FileNotFoundError, KeyError, OSError) as e:
         print(f"[NeuS] no test split ({e}); in-train eval renders train views")
         test_scene = None
@@ -350,10 +363,10 @@ def cmd_relight(args):
                                        os.path.basename(args.envmap))
     # relit ground truth ships with the TEST split (syn_dataset.py:101-115)
     if os.path.exists(os.path.join(args.data, "transforms_test.json")):
-        test_cfg = dict(cfg_dict.get("dataset", {}))
-        test_cfg.pop("type", None)
-        test_cfg["split"] = "test"
         from .data.syn_dataset import SynDataset, SynDatasetConfig
+        test_cfg = _filter_fields(SynDatasetConfig,
+                                  dict(cfg_dict.get("dataset", {})))
+        test_cfg["split"] = "test"
         dataset = SynDataset(SynDatasetConfig(instance_dir=args.data,
                                               **test_cfg))
     _, metrics = relight_views(

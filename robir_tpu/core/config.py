@@ -93,7 +93,11 @@ def build_stage1_configs(cfg_dict: dict):
                                "mip" if model_type == "vnerf" else "neus")
 
     if model_type == "neus":
-        model_cfg = build_neus_config(model_d)
+        # a unified pipeline config may nest the NeuS fields under
+        # model.neus (the stage-2 layout); accept both
+        src = (model_d["neus"] if "neus" in model_d and "sdf" not in model_d
+               else model_d)
+        model_cfg = build_neus_config(src)
     elif model_type == "hash":
         from ..fields.hashgrid import HashGridConfig, HashSDFConfig
         from ..fields.neus_model import HashNeuSConfig

@@ -160,6 +160,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/shadow_pipeline")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--vis_iters", type=int, default=None)
+    ap.add_argument("--pbr_iters", type=int, default=None)
+    ap.add_argument("--cesr_iters", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -192,9 +195,9 @@ def main():
     common = ["--conf", conf_path, "--data", scene, "--log_dir", logs]
     n_iters = {"neus": conf["train"]["max_steps"],
                "norm": conf["norm"]["max_iters"],
-               "vis": 60 if args.fast else 800,
-               "pbr": 120 if args.fast else 2000,
-               "cesr": 80 if args.fast else 600}
+               "vis": args.vis_iters or (60 if args.fast else 800),
+               "pbr": args.pbr_iters or (120 if args.fast else 2000),
+               "cesr": args.cesr_iters or (80 if args.fast else 600)}
 
     stage("neus", ["neus", *common, "--n_iters", str(n_iters["neus"])])
     desc = os.path.join(logs, "NeuS", "neus", "description.json")

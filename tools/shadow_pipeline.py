@@ -270,7 +270,8 @@ def main():
     # -- albedo shadow/lit ratio (PBR, then CESR) ---------------------------
     from robir_tpu.render.stage2 import Stage2Model
 
-    def albedo_ratio(ckpt_path):
+    def albedo_metrics(ckpt_path):
+        """(shadow/lit ratio, chromaticity cosine vs GT albedo)."""
         p, _ = ckpt_lib.restore_into(
             init_stage2_params(jax.random.PRNGKey(0), cfg2), ckpt_path,
             ignore_unknown=True)
@@ -284,16 +285,24 @@ def main():
         sel_lit = ~shadow & lit_side
         mat = model.material(jnp.asarray(pts_all / scale, jnp.float32))
         alb = np.asarray(mat.diffuse_albedo)
+        mean_lit = alb[sel_lit].mean(0)
+        chroma = float(mean_lit @ ALBEDO0 / (np.linalg.norm(mean_lit)
+                                             * np.linalg.norm(ALBEDO0)))
         if sel_shadow.sum() < 10 or sel_lit.sum() < 10:
-            return None
-        return float(alb[sel_shadow].mean() / (alb[sel_lit].mean() + 1e-9))
+            return None, chroma
+        ratio = float(alb[sel_shadow].mean() / (alb[sel_lit].mean() + 1e-9))
+        return ratio, chroma
 
-    metrics["albedo_shadow_lit_ratio_pbr"] = albedo_ratio(
-        os.path.join(logs, "PBR", "checkpoints", "latest.npz"))
+    r, c = albedo_metrics(os.path.join(logs, "PBR", "checkpoints",
+                                       "latest.npz"))
+    metrics["albedo_shadow_lit_ratio_pbr"] = r
+    metrics["albedo_chroma_cos_pbr"] = c
 
     stage("cesr", ["cesr", *common, "--n_iters", str(n_iters["cesr"])])
-    metrics["albedo_shadow_lit_ratio_cesr"] = albedo_ratio(
-        os.path.join(logs, "CESR", "checkpoints", "latest.npz"))
+    r, c = albedo_metrics(os.path.join(logs, "CESR", "checkpoints",
+                                       "latest.npz"))
+    metrics["albedo_shadow_lit_ratio_cesr"] = r
+    metrics["albedo_chroma_cos_cesr"] = c
 
     # -- relighting vs the test split's relit GT ----------------------------
     env_path = make_relight_envmap(os.path.join(args.out, "envmaps"))

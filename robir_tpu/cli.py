@@ -372,7 +372,7 @@ def cmd_relight(args):
     _, metrics = relight_views(
         params, cfg, grid, dataset, args.envmap, out_dir,
         view_indices=range(min(dataset.n_cameras, args.n_views)),
-        light_origin=args.light_origin)
+        light_origin=args.light_origin, background=args.background)
     if "mean_relit_psnr" in metrics:
         for i, p in enumerate(metrics["relit_psnr"]):
             print(f"[relight] view {i}: relit_psnr={p:.3f}")
@@ -440,6 +440,9 @@ def main(argv=None):
     p.add_argument("--light_origin", action="store_true",
                    help="render under the training light (sg+indir; "
                         "scripts/relight.py:78-81)")
+    p.add_argument("--background", choices=["envmap", "white"],
+                   default="envmap",
+                   help="background compositing for relit frames")
     p.set_defaults(fn=cmd_relight)
 
     p = sub.add_parser("textures")

@@ -30,7 +30,8 @@ def relight_views(params: dict, cfg: Stage2Config, grid_values,
                   dataset: SynDataset, envmap_path: str, out_dir: str,
                   view_indices=None, chunk: int = 8000,
                   key=None, light_origin: bool = False,
-                  write_video: bool = True) -> tuple[list[dict], dict]:
+                  write_video: bool = True,
+                  background: str = "envmap") -> tuple[list[dict], dict]:
     """Render relit frames for the given test views. Returns (per-view output
     dicts, metrics) and writes PNGs (rgb / albedo / roughness / normal) plus
     ``video_rgb.mp4`` (scripts/relight.py:116).
@@ -75,9 +76,13 @@ def relight_views(params: dict, cfg: Stage2Config, grid_values,
                             jnp.broadcast_to(jnp.asarray(cam_loc), d.shape), k)
             out = {kk: np.asarray(v)[:chunk - pad if pad else chunk]
                    for kk, v in out.items()}
-            # background from the target envmap (forward:364-366)
-            bg = np.asarray(render_envmap(envmap_j, jnp.asarray(d)))[
-                :chunk - pad if pad else chunk]
+            # background: the target envmap (forward:364-366), or white for
+            # ground truths rendered on white (the procedural test scenes)
+            if background == "white":
+                bg = np.ones((out["rgb"].shape[0], 3), np.float32)
+            else:
+                bg = np.asarray(render_envmap(envmap_j, jnp.asarray(d)))[
+                    :chunk - pad if pad else chunk]
             m = out["mask"][:, None]
             out["rgb"] = np.where(m, out["rgb"], np.clip(bg, 0, 1))
             outs.append(out)

@@ -306,8 +306,9 @@ def main():
 
     # -- relighting vs the test split's relit GT ----------------------------
     env_path = make_relight_envmap(os.path.join(args.out, "envmaps"))
+    # white background: the procedural relit GT is rendered on white
     stage("relight", ["relight", *common, "--envmap", env_path,
-                      "--n_views", "2"])
+                      "--n_views", "2", "--background", "white"])
     rmet = os.path.join(logs, "relight", "envmap6", "metrics.json")
     if os.path.exists(rmet):
         metrics["relight"] = json.load(open(rmet))

@@ -166,6 +166,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # ROBIR_PLATFORM=cpu forces the virtual-CPU backend (the axon
+    # sitecustomize pins the TPU; env vars alone don't override it)
+    if os.environ.get("ROBIR_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ROBIR_PLATFORM"])
     import jax.numpy as jnp
 
     from robir_tpu import cli

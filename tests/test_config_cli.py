@@ -46,6 +46,10 @@ def test_build_reference_configs():
     mcfg = build_neus_config(neus["model"])
     assert mcfg.sdf.n_layers == 8 and mcfg.background is None
     assert neus["train"]["batch_size"] == 512
+    # shipped TPU training config: bf16 activation storage on the trunks
+    assert mcfg.sdf.storage_dtype == "bfloat16"
+    assert mcfg.color.storage_dtype == "bfloat16"
+    assert cfg.visnet.storage_dtype == "bfloat16"  # hotdog sweep trunk
 
     from robir_tpu.stages.pbr import PBRStageConfig
     from robir_tpu.stages.vis import VisStageConfig

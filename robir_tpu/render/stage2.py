@@ -209,6 +209,13 @@ class Stage2Model:
             res = sphere_trace(self.sdf, origins, dirs,
                                self.cfg.sphere_tracer)
             return res.dists, res.mask, res.points
+        if self.cfg.tracer != "grid":
+            raise KeyError(f"unknown tracer {self.cfg.tracer!r} "
+                           "(expected 'grid' or 'sphere')")
+        if self.grid_values is None:
+            raise ValueError("tracer='grid' needs baked grid_values — call "
+                             "the runner's bake_grid() or pass grid_values "
+                             "to Stage2Model")
         return grid_cast(self.grid_values, self.cfg.grid, origins, dirs)
 
 

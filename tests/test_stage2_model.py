@@ -209,3 +209,20 @@ def test_idr_forward_material(idr_model):
     # the rendering network (borrow_color path) is reachable too
     c = idr_model.borrow_color(out["points"][:4], inp["dirs"][:4])
     assert c.shape == (4, 3) and np.isfinite(np.asarray(c)).all()
+
+
+def test_trace_errors_are_actionable(idr_model):
+    """Probes: unknown tracer names the value; grid tracer without baked
+    grid names the fix."""
+    import dataclasses
+    from robir_tpu.render.stage2 import Stage2Model
+    bad = Stage2Model(idr_model.params,
+                      dataclasses.replace(idr_model.cfg, tracer="octree"))
+    o = jnp.zeros((2, 3)) + jnp.array([0.0, 0.0, 1.5])
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (2, 1))
+    with pytest.raises(KeyError, match="octree"):
+        bad.trace(o, d)
+    nogrid = Stage2Model(idr_model.params,
+                         dataclasses.replace(idr_model.cfg, tracer="grid"))
+    with pytest.raises(ValueError, match="bake_grid"):
+        nogrid.trace(o, d)

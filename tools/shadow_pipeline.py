@@ -24,7 +24,6 @@ scripts/relight.py for the relit comparison.
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import sys

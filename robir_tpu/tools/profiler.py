@@ -50,3 +50,43 @@ def time_scanned(step_fn: Callable, init_carry, n_steps: int = 20,
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         best = min(best, (time.perf_counter() - t0) / n_steps)
     return best
+
+
+def summarize_trace(trace_dir: str, top_ops: int = 10) -> dict:
+    """Aggregate a :func:`trace` capture into per-HLO-category device time.
+
+    Reads the newest ``*.trace.json.gz`` under ``trace_dir`` and returns
+    ``{"total_ms", "categories": {name: ms}, "top_ops": [(name, ms), ...]}``
+    over the TPU device track — the summary used for the round-2 roofline
+    study (STATUS.md): matmuls appear as 'convolution fusion', scalar
+    gathers as 'custom fusion', element-wise chains as 'loop fusion'.
+    """
+    import collections
+    import glob as _glob
+    import gzip
+    import json
+
+    paths = sorted(_glob.glob(
+        f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    data = json.load(gzip.open(paths[-1]))
+    events = data["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    cats = collections.Counter()
+    ops = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid", -1), ""):
+            continue
+        name = e.get("name", "")
+        if name.startswith(("jit_", "while")) or name.isdigit():
+            continue
+        dur = e.get("dur", 0)
+        cats[e.get("args", {}).get("hlo_category", "(none)")] += dur
+        ops[name] += dur
+        total += dur
+    return {"total_ms": total / 1e3,
+            "categories": {k: v / 1e3 for k, v in cats.most_common()},
+            "top_ops": [(k, v / 1e3) for k, v in ops.most_common(top_ops)]}

@@ -190,19 +190,23 @@ def main_neus():
     }))
 
 
-def _run_with_retries(max_tries: int = 3, timeout_s: int = 900) -> int:
+def _run_with_retries(max_tries: int = 5, timeout_s: int = 900,
+                      retry_wait_s: int = 120) -> int:
     """Run the bench in a child process, retrying on hang/crash.
 
-    The tunneled TPU link intermittently stalls for minutes or drops the
-    backend entirely; a single in-process run would hang the whole round's
-    benchmark. The child does the real work (ROBIR_BENCH_CHILD=1); the
-    parent enforces a deadline and forwards the child's final JSON line.
+    The tunneled TPU link intermittently stalls for minutes — observed up
+    to hours — or drops the backend entirely; a single in-process run
+    would hang the whole round's benchmark. The child does the real work
+    (ROBIR_BENCH_CHILD=1); the parent enforces a deadline, waits out the
+    outage between tries, and forwards the child's final JSON line.
     """
     import subprocess
 
     env = dict(os.environ, ROBIR_BENCH_CHILD="1")
     last_err = ""
     for attempt in range(max_tries):
+        if attempt:
+            time.sleep(retry_wait_s)  # give a wedged tunnel time to recover
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

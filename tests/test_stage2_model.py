@@ -226,3 +226,27 @@ def test_trace_errors_are_actionable(idr_model):
                          dataclasses.replace(idr_model.cfg, tracer="grid"))
     with pytest.raises(ValueError, match="bake_grid"):
         nogrid.trace(o, d)
+
+
+def test_idr_params_checkpoint_roundtrip(idr_model, tmp_path):
+    """IDR-mode param trees (extra rendering_network top-level key) survive
+    checkpoint save + surgical restore."""
+    from robir_tpu.core import checkpoint as ckpt_lib
+    path = str(tmp_path / "idr.npz")
+    ckpt_lib.save(path, idr_model.params, step=7)
+    import jax.tree_util as jtu
+    blank = jtu.tree_map(jnp.zeros_like, idr_model.params)
+    restored, meta = ckpt_lib.restore_into(blank, path)
+    for (ka, a), (kb, b) in zip(
+            jtu.tree_leaves_with_path(idr_model.params),
+            jtu.tree_leaves_with_path(restored)):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # surgical: keep only the rendering network
+    partial, _ = ckpt_lib.restore_into(
+        blank, path, keep=lambda p: p.startswith("rendering_network"))
+    rn = partial["rendering_network"]
+    assert any(float(jnp.abs(x).max()) > 0
+               for x in jtu.tree_leaves(rn))
+    assert all(float(jnp.abs(x).max()) == 0
+               for x in jtu.tree_leaves(partial["implicit_network"]))

@@ -196,9 +196,27 @@ def cmd_neus(args):
     tc = cfg_dict.get("train", {})
     train_cfg = NeusTrainConfig(**tc)
     # one config tree serves both stages; the dataset dict may carry
-    # stage-2 (SynDataset) keys — each loader takes its own fields
-    ds = _filter_fields(BlenderConfig, cfg_dict.get("dataset", {}))
-    scene = BlenderScene(BlenderConfig(dataset_dir=args.data, **ds), "train")
+    # stage-2 (SynDataset) keys — each loader takes its own fields.
+    # dataset.type dispatch mirrors the reference gin Data.version
+    # ('naive' blender json vs 'neus' cameras_sphere.npz,
+    # neus/dataset/interface.py:34-44)
+    ds_dict = dict(cfg_dict.get("dataset", {}))
+    ds_kind = ds_dict.pop("type", "blender")
+    if ds_kind in ("neus_npz", "dtu", "neus"):
+        from .data.neus_npz import NeuSNpzScene, NeuSNpzSceneConfig
+        ds = _filter_fields(NeuSNpzSceneConfig, ds_dict)
+        def make_scene(split):
+            return NeuSNpzScene(
+                NeuSNpzSceneConfig(dataset_dir=args.data, **ds), split)
+    elif ds_kind in ("blender", "syn"):
+        ds = _filter_fields(BlenderConfig, ds_dict)
+        def make_scene(split):
+            return BlenderScene(
+                BlenderConfig(dataset_dir=args.data, **ds), split)
+    else:
+        raise KeyError(f"unknown stage-1 dataset.type {ds_kind!r} "
+                       "(expected 'blender' or 'neus_npz')")
+    scene = make_scene("train")
     trainer = NeusTrainer(scene, model_cfg, render_cfg, train_cfg,
                           log_dir=os.path.join(args.log_dir, "NeuS"),
                           seed=args.seed, bindings=bindings)
@@ -216,8 +234,7 @@ def cmd_neus(args):
     from .tools.logger import Logger
     logger = Logger(os.path.join(args.log_dir, "NeuS"), exp_name="neus")
     try:
-        test_scene = BlenderScene(
-            BlenderConfig(dataset_dir=args.data, **ds), "test")
+        test_scene = make_scene("test")
     except (FileNotFoundError, KeyError, OSError) as e:
         print(f"[NeuS] no test split ({e}); in-train eval renders train views")
         test_scene = None

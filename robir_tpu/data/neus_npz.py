@@ -141,6 +141,75 @@ class NeuSNpzDataset:
 
 
 @dataclasses.dataclass
+class NeuSNpzSceneConfig:
+    dataset_dir: str = ""
+    batch_size: int = 512
+    render_cameras_name: str = "cameras_sphere.npz"
+    ext: str = "png"
+    test_resolution_level: int = 4
+
+
+class NeuSNpzScene:
+    """Stage-1 training adapter over :class:`NeuSNpzDataset` exposing the
+    BlenderScene interface the NeuS trainer consumes.
+
+    Parity: reference ``neus/dataset/interface.py`` NeuSDatasetWrapper
+    (:182-243) — random-pixel batches with sphere-based near/far
+    (``near_far_from_sphere``), mask as lossmult, zero radii (the mip cone
+    radius is a blender-loader concept).
+    """
+
+    def __init__(self, cfg: NeuSNpzSceneConfig, split: str = "train"):
+        from .blender import RayBatch
+        self._RayBatch = RayBatch
+        self.cfg = cfg
+        self.base = NeuSNpzDataset(NeuSNpzConfig(
+            data_dir=cfg.dataset_dir,
+            render_cameras_name=cfg.render_cameras_name, ext=cfg.ext))
+        self.split = split
+        # eval renders run at reduced resolution like the reference wrapper
+        # (interface.py:197, resolution_level=2/4)
+        self._ll = 1 if split == "train" else max(1, cfg.test_resolution_level)
+        self.h = self.base.h // self._ll
+        self.w = self.base.w // self._ll
+        self.n_images = self.base.n_images
+        if self._ll == 1:
+            self.images = self.base.images
+            self.masks = self.base.masks[..., :1]
+        else:
+            # nearest-neighbor at the same pixel centers gen_rays_at uses
+            # (linspace over [0, w-1]), so eval rays and GT stay aligned
+            tx = np.rint(np.linspace(0, self.base.w - 1, self.w)).astype(int)
+            ty = np.rint(np.linspace(0, self.base.h - 1, self.h)).astype(int)
+            self.images = self.base.images[:, ty][:, :, tx]
+            self.masks = self.base.masks[:, ty][:, :, tx, :1]
+
+    def _bundle(self, o, v, rgb, mask):
+        near, far = NeuSNpzDataset.near_far_from_sphere(o, v)
+        ones = np.ones_like(o[..., :1])
+        return self._RayBatch(
+            origins=o.astype(np.float32), directions=v.astype(np.float32),
+            viewdirs=v.astype(np.float32), radii=np.zeros_like(ones),
+            lossmult=mask.astype(np.float32),
+            near=near.astype(np.float32), far=far.astype(np.float32),
+            pixels=rgb.astype(np.float32))
+
+    def sample(self, rng: np.random.Generator, batch_size: int | None = None):
+        n = batch_size or self.cfg.batch_size
+        idx = int(rng.integers(0, self.n_images))
+        d = self.base.gen_random_rays_at(rng, idx, n)
+        return self._bundle(d["origins"], d["dirs"], d["rgb"], d["mask"])
+
+    def image_rays(self, idx: int):
+        o, v = self.base.gen_rays_at(idx, resolution_level=self._ll)
+        o = o[:self.h, :self.w].reshape(-1, 3)
+        v = v[:self.h, :self.w].reshape(-1, 3)
+        rgb = self.images[idx].reshape(-1, 3)
+        mask = self.masks[idx].reshape(-1, 1)
+        return self._bundle(o, v, rgb, mask)
+
+
+@dataclasses.dataclass
 class DTUConfig:
     data_dir: str = ""
     frame_skip: int = 1

@@ -116,3 +116,58 @@ class TestDTUScene:
         t_ca = -np.sum(b["points"] * b["dirs"], -1)
         closest = np.linalg.norm(b["points"] + t_ca[:, None] * b["dirs"], axis=-1)
         assert closest.mean() < 0.7
+
+
+class TestNeuSNpzScene:
+    """Stage-1 adapter (NeuSDatasetWrapper parity, interface.py:182-243)."""
+
+    def test_train_batch_shapes(self, tmp_path):
+        from robir_tpu.data.neus_npz import NeuSNpzScene, NeuSNpzSceneConfig
+        _make_scene(tmp_path)
+        sc = NeuSNpzScene(NeuSNpzSceneConfig(dataset_dir=str(tmp_path),
+                                             batch_size=32))
+        b = sc.sample(np.random.default_rng(0))
+        assert b.origins.shape == (32, 3) and b.pixels.shape == (32, 3)
+        # sphere near/far (reference near_far_from_sphere): far - near = 2
+        np.testing.assert_allclose(b.far - b.near, 2.0, rtol=1e-5)
+        # lossmult carries the object mask
+        assert b.lossmult.shape == (32, 1)
+        assert np.all(b.radii == 0.0)
+
+    def test_eval_rays_align_with_images(self, tmp_path):
+        from robir_tpu.data.neus_npz import NeuSNpzScene, NeuSNpzSceneConfig
+        _make_scene(tmp_path)
+        sc = NeuSNpzScene(NeuSNpzSceneConfig(dataset_dir=str(tmp_path),
+                                             test_resolution_level=2), "test")
+        assert (sc.h, sc.w) == (20, 24)
+        full = sc.image_rays(0)
+        assert full.origins.shape == (sc.h * sc.w, 3)
+        assert full.pixels.shape == (sc.h * sc.w, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(full.viewdirs, axis=-1), 1.0, rtol=1e-5)
+
+    def test_trainer_smoke(self, tmp_path):
+        """A few NeuS train steps on the npz scene reach finite loss
+        (the stage-1 DTU path of neus/config/dtu/*.gin)."""
+        from robir_tpu.data.neus_npz import NeuSNpzScene, NeuSNpzSceneConfig
+        from robir_tpu.fields.neus_model import NeuSConfig
+        from robir_tpu.fields.radiance import RenderingConfig
+        from robir_tpu.fields.sdf import SDFConfig
+        from robir_tpu.render.neus import NeusRenderConfig
+        from robir_tpu.stages.neus_stage import NeusTrainConfig, NeusTrainer
+
+        _make_scene(tmp_path)
+        sc = NeuSNpzScene(NeuSNpzSceneConfig(dataset_dir=str(tmp_path),
+                                             batch_size=8))
+        model_cfg = NeuSConfig(
+            sdf=SDFConfig(d_in=3, d_out=17, d_hidden=16, n_layers=2,
+                          skip_in=(), multires=2),
+            color=RenderingConfig(d_feature=16, mode="idr", d_in=9, d_out=3,
+                                  d_hidden=16, n_layers=2, multires_view=2))
+        render_cfg = NeusRenderConfig(n_samples=8, n_importance=4,
+                                      up_sample_steps=2, white_bkgd=False)
+        tr = NeusTrainer(sc, model_cfg, render_cfg,
+                         NeusTrainConfig(batch_size=8, max_steps=10),
+                         log_dir=str(tmp_path / "logs"), seed=0)
+        m = tr.run(3)
+        assert np.isfinite(m["loss"])

@@ -43,11 +43,31 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 def _filter_fields(dc_type, d: dict) -> dict:
     """Subset of ``d`` accepted by dataclass ``dc_type`` (the dataset dict
-    is shared between the stage-1 Blender loader and the stage-2 SynDataset
-    loader; each takes its own fields)."""
+    is shared between the stage-1 and stage-2 loaders; each takes its own
+    fields). Keys belonging to NO known loader are rejected — silent
+    typo-drops degrade runs invisibly (the stage-surgery failure class)."""
     import dataclasses as _dc
     names = {f.name for f in _dc.fields(dc_type)}
+    unknown = set(d) - _known_dataset_keys()
+    if unknown:
+        raise KeyError(
+            f"unknown dataset config key(s) {sorted(unknown)}; no loader "
+            "accepts them (check for typos)")
     return {k: v for k, v in d.items() if k in names}
+
+
+def _known_dataset_keys() -> set:
+    """Union of every dataset-loader config's field names + 'type'."""
+    import dataclasses as _dc
+
+    from .data.blender import BlenderConfig
+    from .data.neus_npz import DTUConfig, NeuSNpzSceneConfig
+    from .data.syn_dataset import SynDatasetConfig
+    keys = {"type"}
+    for dc in (BlenderConfig, NeuSNpzSceneConfig, DTUConfig,
+               SynDatasetConfig):
+        keys |= {f.name for f in _dc.fields(dc)}
+    return keys
 
 
 def _load(args):
@@ -87,6 +107,15 @@ def _stage2_setup(args, cfg_dict):
     cfg = build_stage2_config(cfg_dict["model"])
     dataset = _stage2_dataset(args.data, cfg_dict)
     params = init_stage2_params(jax.random.PRNGKey(args.seed), cfg)
+    if not cfg.use_neus:
+        # IDR mode: the implicit/rendering networks are trained in stage 2
+        # itself (reference use_neus=False wiring,
+        # implicit_differentiable_renderer.py:277-282) — there is no
+        # stage-1 NeuS tree to graft, and grafting one would clobber the
+        # IDR param structure.
+        print("[stage2] IDR mode (use_neus=false): fresh implicit network, "
+              "no stage-1 graft")
+        return cfg, dataset, params
     # frozen stage-1 geometry: the NeuS trainer checkpoint stores the model
     # under 'params/...'; it becomes the stage-2 'implicit_network' bridge
     # (the reference's ImplicitNetworkMy tarball load, neus_model.py:770-782)
@@ -205,9 +234,14 @@ def cmd_neus(args):
     if ds_kind in ("neus_npz", "dtu", "neus"):
         from .data.neus_npz import NeuSNpzScene, NeuSNpzSceneConfig
         ds = _filter_fields(NeuSNpzSceneConfig, ds_dict)
+        _base_cache = []
         def make_scene(split):
-            return NeuSNpzScene(
-                NeuSNpzSceneConfig(dataset_dir=args.data, **ds), split)
+            sc = NeuSNpzScene(
+                NeuSNpzSceneConfig(dataset_dir=args.data, **ds), split,
+                base=_base_cache[0] if _base_cache else None)
+            if not _base_cache:
+                _base_cache.append(sc.base)
+            return sc
     elif ds_kind in ("blender", "syn"):
         ds = _filter_fields(BlenderConfig, ds_dict)
         def make_scene(split):
@@ -236,7 +270,8 @@ def cmd_neus(args):
     try:
         test_scene = make_scene("test")
     except (FileNotFoundError, KeyError, OSError) as e:
-        print(f"[NeuS] no test split ({e}); in-train eval renders train views")
+        print(f"[NeuS] no test split ({e}); in-train eval and the final "
+              "test pass are disabled")
         test_scene = None
 
     trainer.run(n, log_every=50, metrics_cb=log,

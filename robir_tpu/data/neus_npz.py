@@ -159,13 +159,18 @@ class NeuSNpzScene:
     radius is a blender-loader concept).
     """
 
-    def __init__(self, cfg: NeuSNpzSceneConfig, split: str = "train"):
+    def __init__(self, cfg: NeuSNpzSceneConfig, split: str = "train",
+                 base: "NeuSNpzDataset | None" = None):
         from .blender import RayBatch
         self._RayBatch = RayBatch
         self.cfg = cfg
-        self.base = NeuSNpzDataset(NeuSNpzConfig(
-            data_dir=cfg.dataset_dir,
-            render_cameras_name=cfg.render_cameras_name, ext=cfg.ext))
+        # `base` lets train/test splits share one loaded dataset (npz
+        # scenes have no separate test images — the reference wrapper
+        # renders train views at reduced resolution, interface.py:197)
+        self.base = base if base is not None else NeuSNpzDataset(
+            NeuSNpzConfig(data_dir=cfg.dataset_dir,
+                          render_cameras_name=cfg.render_cameras_name,
+                          ext=cfg.ext))
         self.split = split
         # eval renders run at reduced resolution like the reference wrapper
         # (interface.py:197, resolution_level=2/4)

@@ -126,15 +126,27 @@ def mip_render_binding(model_cfg, render_cfg):
     from ..fields.vnerf import mipnerf_apply, vnerf_apply
     from ..render.mip import render_mip
 
+    if getattr(render_cfg, "mode", "mip") == "sdf":
+        # similarity_process 'sdf' needs an SDF model (grad/dev/radius,
+        # mip_render.py:128-175); density fields have none. The SDF-under-
+        # mip capability is covered by the library API (render.mip), not
+        # this density-field binding.
+        raise ValueError(
+            "render.mode='sdf' requires an SDF model; vnerf/mipnerf fields "
+            "are density-only. Use model.type=neus with render.type=neus, "
+            "or call render.mip.similarity_process directly with an SDF "
+            "model adapter.")
+
     def render_fn(key, rays, params, cos_anneal, is_eval=False):
-        del cos_anneal  # density renderer: no NeuS anneal
-
-        def model_fn(means, covs, viewdirs):
-            if model_cfg.use_ipe:
-                return mipnerf_apply(params, model_cfg, means, covs, viewdirs)
-            return vnerf_apply(params, model_cfg, means, viewdirs)
-
-        out = render_mip(key, rays, model_fn, render_cfg, is_eval=is_eval)[-1]
+        # 'sim'/'raw' compositors ignore the anneal; the density path too
+        out = render_mip(key, rays,
+                         lambda means, covs, viewdirs:
+                         (mipnerf_apply(params, model_cfg, means, covs,
+                                        viewdirs)
+                          if model_cfg.use_ipe else
+                          vnerf_apply(params, model_cfg, means, viewdirs)),
+                         render_cfg, is_eval=is_eval,
+                         cos_anneal_ratio=cos_anneal)[-1]
         if getattr(render_cfg, "mode", "mip") != "mip":
             # similarity regularizer input (reference trainer.py:129 feeds
             # ret['sim_or_grad'] to similarity_reg)

@@ -259,3 +259,57 @@ def test_dtu_config_pipeline_smoke(tmp_path):
     pbr.bake_grid()
     m = pbr.run(3, log_every=1)
     assert np.isfinite(m["loss"])
+
+
+def test_stage2_setup_keeps_idr_params(tmp_path):
+    """use_neus=false from the CLI must NOT graft a stage-1 NeuS tree over
+    the IDR implicit network (it has a different param structure)."""
+    import argparse
+
+    import jax
+    from robir_tpu import cli
+    from robir_tpu.core import checkpoint as ckpt_lib
+
+    _make_npz_scene(tmp_path)
+    # a stage-1 NeuS checkpoint exists in the log dir (the normal pipeline
+    # state that used to trigger the graft unconditionally)
+    neus_dir = tmp_path / "logs" / "NeuS"
+    neus_dir.mkdir(parents=True)
+    ckpt_lib.save(str(neus_dir / "ckpt_000010.npz"),
+                  {"params": {"sdf_network": {"w": np.zeros(3, np.float32)}}})
+
+    conf = load_config("configs/dtu.json")
+    conf["model"]["use_neus"] = False
+    conf["model"]["tracer"] = "sphere"
+    args = argparse.Namespace(data=str(tmp_path), log_dir=str(tmp_path / "logs"),
+                              seed=0)
+    cfg, dataset, params = cli._stage2_setup(args, conf)
+    assert not cfg.use_neus
+    # IDR structure intact: per-layer linears, plus the rendering network
+    assert "lin0" in params["implicit_network"]
+    assert "rendering_network" in params
+    assert "sdf_network" not in params["implicit_network"]
+
+
+def test_mip_sdf_mode_rejected_for_density_fields():
+    """render.mode='sdf' under the vnerf binding raises an actionable error
+    instead of crashing on model=None inside the first train step."""
+    from robir_tpu.fields.vnerf import VNeRFConfig
+    from robir_tpu.render.mip import MipRenderConfig
+    from robir_tpu.stages.neus_stage import mip_render_binding
+
+    with pytest.raises(ValueError, match="density-only"):
+        mip_render_binding(VNeRFConfig(), MipRenderConfig(mode="sdf"))
+
+
+def test_unknown_dataset_key_rejected():
+    """Typos in the shared dataset dict fail loudly instead of being
+    silently dropped by the per-loader field filter."""
+    from robir_tpu.cli import _filter_fields
+    from robir_tpu.data.blender import BlenderConfig
+
+    with pytest.raises(KeyError, match="frame_skp"):
+        _filter_fields(BlenderConfig, {"frame_skp": 2})
+    # keys of OTHER loaders pass through the union check (shared dict)
+    out = _filter_fields(BlenderConfig, {"near": 1.0, "frame_skip": 2})
+    assert out == {"near": 1.0}

@@ -254,7 +254,8 @@ def cmd_neus(args):
     trainer = NeusTrainer(scene, model_cfg, render_cfg, train_cfg,
                           log_dir=os.path.join(args.log_dir, "NeuS"),
                           seed=args.seed, bindings=bindings)
-    if args.is_continue:
+    test_only = getattr(args, "test_only", False)
+    if args.is_continue or test_only:
         trainer.restore()
     n = args.n_iters or train_cfg.max_steps
 
@@ -274,9 +275,13 @@ def cmd_neus(args):
               "test pass are disabled")
         test_scene = None
 
-    trainer.run(n, log_every=50, metrics_cb=log,
-                test_scene=test_scene, logger=logger)
-    print("[NeuS] saved", trainer.save())
+    if not test_only:
+        trainer.run(n, log_every=50, metrics_cb=log,
+                    test_scene=test_scene, logger=logger)
+        print("[NeuS] saved", trainer.save())
+    elif test_scene is None:
+        raise FileNotFoundError(
+            "--test_only needs a test split (none could be loaded)")
     if test_scene is not None:
         metrics = trainer.test(test_scene, logger=logger)
         print("[NeuS] test: " + ", ".join(
@@ -474,6 +479,11 @@ def main(argv=None):
         _add_common(p)
         if name == "norm":
             p.add_argument("--mesh", type=str, required=True)
+        if name == "neus":
+            p.add_argument("--test_only", action="store_true",
+                           help="skip training; restore the latest "
+                                "checkpoint and run the test pass "
+                                "(reference exp_runner.py --test)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("mesh")

@@ -313,3 +313,11 @@ def test_unknown_dataset_key_rejected():
     # keys of OTHER loaders pass through the union check (shared dict)
     out = _filter_fields(BlenderConfig, {"near": 1.0, "frame_skip": 2})
     assert out == {"near": 1.0}
+
+
+def test_neus_test_only_flag_parses():
+    from robir_tpu.cli import main
+    import argparse
+    # parser accepts the flag; a bogus conf path fails later, at _load
+    with pytest.raises((FileNotFoundError, OSError)):
+        main(["neus", "--conf", "/nonexistent.json", "--test_only"])

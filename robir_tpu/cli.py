@@ -61,10 +61,11 @@ def _known_dataset_keys() -> set:
     import dataclasses as _dc
 
     from .data.blender import BlenderConfig
+    from .data.multicam import MulticamConfig
     from .data.neus_npz import DTUConfig, NeuSNpzSceneConfig
     from .data.syn_dataset import SynDatasetConfig
     keys = {"type"}
-    for dc in (BlenderConfig, NeuSNpzSceneConfig, DTUConfig,
+    for dc in (BlenderConfig, MulticamConfig, NeuSNpzSceneConfig, DTUConfig,
                SynDatasetConfig):
         keys |= {f.name for f in _dc.fields(dc)}
     return keys
@@ -247,9 +248,15 @@ def cmd_neus(args):
         def make_scene(split):
             return BlenderScene(
                 BlenderConfig(dataset_dir=args.data, **ds), split)
+    elif ds_kind in ("multicam", "mip"):
+        from .data.multicam import MulticamConfig, MulticamScene
+        ds = _filter_fields(MulticamConfig, ds_dict)
+        def make_scene(split):
+            return MulticamScene(
+                MulticamConfig(dataset_dir=args.data, **ds), split)
     else:
         raise KeyError(f"unknown stage-1 dataset.type {ds_kind!r} "
-                       "(expected 'blender' or 'neus_npz')")
+                       "(expected 'blender', 'neus_npz', or 'multicam')")
     scene = make_scene("train")
     trainer = NeusTrainer(scene, model_cfg, render_cfg, train_cfg,
                           log_dir=os.path.join(args.log_dir, "NeuS"),

@@ -77,6 +77,11 @@ class MulticamScene:
         return tuple(a.astype(np.float32) for a in
                      (origins, directions, viewdirs, radii, lossmult, near, far))
 
+    def image_shape(self, idx: int) -> tuple[int, int]:
+        """(h, w) of image ``idx`` — resolutions differ per image, so the
+        trainer's eval paths query per-index instead of scalar h/w."""
+        return self.images[idx].shape[:2]
+
     def image_rays(self, idx: int) -> RayBatch:
         r = self._rays_per_img[idx]
         return RayBatch(*[f.reshape(-1, f.shape[-1]) for f in r],

@@ -415,7 +415,10 @@ class NeusTrainer:
             out = self.eval_render(self.params, self._put(sl))
             outs.append({k: np.asarray(v)[:chunk - pad if pad else chunk]
                          for k, v in out.items()})
-        h, w = scene.h, scene.w
+        # per-image shapes for ragged datasets (Multicam); uniform scenes
+        # expose scalar h/w
+        h, w = (scene.image_shape(idx) if hasattr(scene, "image_shape")
+                else (scene.h, scene.w))
         img = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
         rgb = img["rgb"].reshape(h, w, 3)
         mse = float(np.mean((rgb - scene.images[idx]) ** 2))
@@ -437,13 +440,22 @@ class NeusTrainer:
             psnrs.append(out["psnr"])
             mses.append(out["mse"])
         render_time = time.perf_counter() - t0
-        rays_per_sec = n_frames * test_scene.h * test_scene.w / render_time
+        if hasattr(test_scene, "image_shape"):
+            n_rays = sum(int(np.prod(test_scene.image_shape(i)))
+                         for i in range(n_frames))
+        else:
+            n_rays = n_frames * test_scene.h * test_scene.w
+        rays_per_sec = n_rays / render_time
         metrics = {"mean_psnr": float(np.mean(psnrs)),
                    "mean_mse": float(np.mean(mses)),
                    "render_time": render_time,
                    "rays_per_sec": rays_per_sec}
         if logger is not None:
-            logger.log_video("test_frames", frames)
+            if len({f.shape for f in frames}) == 1:
+                logger.log_video("test_frames", frames)
+            else:  # ragged (Multicam): videos need uniform frames
+                for i, f in enumerate(frames):
+                    logger.log_image(self.step, f"test_frame_{i}", f)
             logger.log_json(**metrics)
             logger.log_rays_per_sec(self.step, rays_per_sec)
         return metrics

@@ -78,36 +78,44 @@ def test_spiral_path_shape():
     assert np.isfinite(path).all()
 
 
-def test_multicam_loader(tmp_path):
-    """Multicam metadata.json with two different-resolution cameras."""
+def _make_multicam(tmp_path):
+    """metadata.json with two different-resolution cameras per split."""
     import json
     from PIL import Image
-    from robir_tpu.data.multicam import MulticamConfig, MulticamScene
     rng = np.random.default_rng(5)
     os.makedirs(tmp_path / "imgs", exist_ok=True)
-    meta = {"train": {"file_path": [], "pix2cam": [], "cam2world": [],
-                      "width": [], "height": [], "lossmult": [],
-                      "near": [], "far": []}}
-    for i, (h, w) in enumerate([(16, 20), (24, 30)]):
-        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
-        Image.fromarray(img).save(tmp_path / "imgs" / f"{i}.png")
-        focal = 0.5 * w
-        pix2cam = np.linalg.inv(np.array(
-            [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]))
-        c2w = np.eye(4)[:3]
-        c2w[:, 3] = [0, 0, 2.0 + i]
-        m = meta["train"]
-        m["file_path"].append(f"imgs/{i}.png")
-        m["pix2cam"].append(pix2cam.tolist())
-        m["cam2world"].append(c2w.tolist())
-        m["width"].append(w)
-        m["height"].append(h)
-        m["lossmult"].append(1.0)
-        m["near"].append(1.0)
-        m["far"].append(6.0)
+    meta = {}
+    n = 0
+    for split in ("train", "test"):
+        meta[split] = {"file_path": [], "pix2cam": [], "cam2world": [],
+                       "width": [], "height": [], "lossmult": [],
+                       "near": [], "far": []}
+        for i, (h, w) in enumerate([(16, 20), (24, 30)]):
+            img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(tmp_path / "imgs" / f"{n}.png")
+            focal = 0.5 * w
+            pix2cam = np.linalg.inv(np.array(
+                [[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]]))
+            c2w = np.eye(4)[:3]
+            c2w[:, 3] = [0, 0, 2.0 + i]
+            m = meta[split]
+            m["file_path"].append(f"imgs/{n}.png")
+            m["pix2cam"].append(pix2cam.tolist())
+            m["cam2world"].append(c2w.tolist())
+            m["width"].append(w)
+            m["height"].append(h)
+            m["lossmult"].append(1.0)
+            m["near"].append(1.0)
+            m["far"].append(6.0)
+            n += 1
     with open(tmp_path / "metadata.json", "w") as f:
         json.dump(meta, f)
 
+
+def test_multicam_loader(tmp_path):
+    """Multicam metadata.json with two different-resolution cameras."""
+    from robir_tpu.data.multicam import MulticamConfig, MulticamScene
+    _make_multicam(tmp_path)
     scene = MulticamScene(MulticamConfig(dataset_dir=str(tmp_path)))
     assert scene.n_images == 2
     assert scene.flat.origins.shape[0] == 16 * 20 + 24 * 30
@@ -204,3 +212,34 @@ def test_llff_spherify_rejects_forward_facing(tmp_path):
     from robir_tpu.data.llff import LLFFConfig, LLFFScene
     with pytest.raises(ValueError, match="forward-facing"):
         LLFFScene(LLFFConfig(data_dir=str(tmp_path), spherify=True), "train")
+
+
+def test_multicam_trainer_ragged_eval(tmp_path):
+    """Multicam trains from the CLI dispatch and the eval/test paths
+    handle per-image resolutions (image_shape hook)."""
+    from robir_tpu.data.multicam import MulticamConfig, MulticamScene
+    from robir_tpu.fields.vnerf import VNeRFConfig
+    from robir_tpu.render.mip import MipRenderConfig
+    from robir_tpu.stages.neus_stage import (NeusTrainConfig, NeusTrainer,
+                                             make_stage1_bindings)
+
+    _make_multicam(tmp_path)
+    scene = MulticamScene(MulticamConfig(dataset_dir=str(tmp_path)))
+    model_cfg = VNeRFConfig(width=16, depth=2, skips=(), multires=3,
+                            multires_view=2, use_ipe=True, ipe_max_deg=4)
+    render_cfg = MipRenderConfig(num_samples=8, n_levels=2)
+    bindings = make_stage1_bindings("vnerf", "mip", model_cfg, render_cfg)
+    tr = NeusTrainer(scene, model_cfg, render_cfg,
+                     NeusTrainConfig(batch_size=8, max_steps=6, eval_chunk=64),
+                     log_dir=str(tmp_path / "logs"), seed=0,
+                     bindings=bindings)
+    m = tr.run(3)
+    assert np.isfinite(m["loss"])
+    test_scene = MulticamScene(MulticamConfig(dataset_dir=str(tmp_path)),
+                               "test")
+    out0 = tr.render_image(0, scene=test_scene)
+    out1 = tr.render_image(1, scene=test_scene)
+    assert out0["rgb"].shape == (16, 20, 3)
+    assert out1["rgb"].shape == (24, 30, 3)
+    metrics = tr.test(test_scene)
+    assert np.isfinite(metrics["mean_psnr"])

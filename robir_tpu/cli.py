@@ -61,12 +61,13 @@ def _known_dataset_keys() -> set:
     import dataclasses as _dc
 
     from .data.blender import BlenderConfig
+    from .data.llff import LLFFConfig
     from .data.multicam import MulticamConfig
     from .data.neus_npz import DTUConfig, NeuSNpzSceneConfig
     from .data.syn_dataset import SynDatasetConfig
     keys = {"type"}
-    for dc in (BlenderConfig, MulticamConfig, NeuSNpzSceneConfig, DTUConfig,
-               SynDatasetConfig):
+    for dc in (BlenderConfig, LLFFConfig, MulticamConfig, NeuSNpzSceneConfig,
+               DTUConfig, SynDatasetConfig):
         keys |= {f.name for f in _dc.fields(dc)}
     return keys
 
@@ -254,9 +255,14 @@ def cmd_neus(args):
         def make_scene(split):
             return MulticamScene(
                 MulticamConfig(dataset_dir=args.data, **ds), split)
+    elif ds_kind == "llff":
+        from .data.llff import LLFFConfig, LLFFScene
+        ds = _filter_fields(LLFFConfig, ds_dict)
+        def make_scene(split):
+            return LLFFScene(LLFFConfig(data_dir=args.data, **ds), split)
     else:
-        raise KeyError(f"unknown stage-1 dataset.type {ds_kind!r} "
-                       "(expected 'blender', 'neus_npz', or 'multicam')")
+        raise KeyError(f"unknown stage-1 dataset.type {ds_kind!r} (expected "
+                       "'blender', 'neus_npz', 'multicam', or 'llff')")
     scene = make_scene("train")
     trainer = NeusTrainer(scene, model_cfg, render_cfg, train_cfg,
                           log_dir=os.path.join(args.log_dir, "NeuS"),

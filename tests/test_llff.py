@@ -243,3 +243,23 @@ def test_multicam_trainer_ragged_eval(tmp_path):
     assert out1["rgb"].shape == (24, 30, 3)
     metrics = tr.test(test_scene)
     assert np.isfinite(metrics["mean_psnr"])
+
+
+def test_llff_cli_dispatch(tmp_path):
+    """dataset.type=llff trains from the one stage-1 CLI (mip render)."""
+    import json
+    from robir_tpu.cli import main
+    _make_llff_scene(tmp_path)
+    conf = {
+        "model": {"type": "vnerf", "width": 16, "depth": 2, "skips": [],
+                  "multires": 3, "multires_view": 2},
+        "render": {"type": "mip", "num_samples": 8, "n_levels": 2},
+        "train": {"batch_size": 8, "max_steps": 4, "eval_chunk": 64,
+                  "ckpt_every": 100, "eval_every": 0},
+        "dataset": {"type": "llff", "llffhold": 8},
+    }
+    cpath = tmp_path / "conf.json"
+    cpath.write_text(json.dumps(conf))
+    main(["neus", "--conf", str(cpath), "--data", str(tmp_path),
+          "--log_dir", str(tmp_path / "logs"), "--n_iters", "3"])
+    assert (tmp_path / "logs" / "NeuS" / "ckpt_000003.npz").exists()

@@ -317,10 +317,20 @@ class SGRenderOutput(NamedTuple):
     supervise: jnp.ndarray
 
 
-def kl_divergence(x: jnp.ndarray, mu: float = 0.05) -> jnp.ndarray:
+def kl_divergence(x: jnp.ndarray, mu: float = 0.05,
+                  weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Bernoulli KL sparsity penalty (reference ``utils/utils.py:14-17``):
-    mean activation over the batch axis vs target rate ``mu``."""
-    rho_hat = jnp.mean(x, axis=0)
+    mean activation over the batch axis vs target rate ``mu``.
+
+    ``weight`` ([N] float) makes the batch mean a weighted mean — the dense
+    equivalent of the reference evaluating this at boolean-masked surface
+    points only (the masked weighted mean equals the mean over the subset)."""
+    if weight is None:
+        rho_hat = jnp.mean(x, axis=0)
+    else:
+        w = weight.reshape((-1,) + (1,) * (x.ndim - 1))
+        rho_hat = jnp.sum(x * w, axis=0) / jnp.clip(jnp.sum(w, axis=0), 1.0,
+                                                    None)
     rho = mu
     return jnp.mean(rho * jnp.log(rho / (rho_hat + 1e-4))
                     + (1 - rho) * jnp.log((1 - rho) / (1 - rho_hat + 1e-4)))
@@ -417,7 +427,8 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
                    fun_spec: bool = False,
                    diffuse_nsamp: int = 32, diffuse_vis_nsamp: int = 8,
                    specular_nsamp: int = 8,
-                   diffuse_sweep_chunk: int = 0) -> SGRenderOutput:
+                   diffuse_sweep_chunk: int = 0,
+                   supervise_weight: Optional[jnp.ndarray] = None) -> SGRenderOutput:
     """Full SG shading for one light set. Parity: sg_render.py:343-565.
 
     points/normal/viewdirs: [N, 3]; lgt_sgs: [N, M, 7] or [M, 7];
@@ -454,14 +465,23 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
 
         if diffuse_vis is not None:
             light_vis = jnp.broadcast_to(diffuse_vis.reshape(N, M, 1), (N, M, 3))
+            # supervise_weight restricts the KL batch-mean to surface rays
+            # (the reference shades only points[surface_mask], so its KL
+            # never sees miss rays; dense lanes collapse to the camera
+            # origin and must not bias rho_hat)
             if prefit == "warmup":
                 supervise = kl_divergence(
-                    jnp.abs(jax.lax.stop_gradient(light_vis_gt) - light_vis)[..., 0], 0.01) * 0.1
+                    jnp.abs(jax.lax.stop_gradient(light_vis_gt) - light_vis)[..., 0], 0.01,
+                    weight=supervise_weight) * 0.1
                 light_vis = light_vis_gt
             elif prefit == "project":
-                supervise = kl_divergence(jnp.abs(light_vis_gt - light_vis)[..., 0], 0.01) * 0.2
+                supervise = kl_divergence(
+                    jnp.abs(light_vis_gt - light_vis)[..., 0], 0.01,
+                    weight=supervise_weight) * 0.2
             else:
-                supervise = kl_divergence(jnp.abs(light_vis_gt - light_vis)[..., 0], 0.01) * 1.0
+                supervise = kl_divergence(
+                    jnp.abs(light_vis_gt - light_vis)[..., 0], 0.01,
+                    weight=supervise_weight) * 1.0
         else:
             light_vis = light_vis_gt
 
@@ -535,7 +555,8 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
                        vis_outer_fn=None,
                        lin_diff=False, metallic=None, diffuse_vis=None,
                        prefit=None, argmax_vis=False,
-                       fun_spec=False, diffuse_sweep_chunk=0) -> AllSGOutput:
+                       fun_spec=False, diffuse_sweep_chunk=0,
+                       supervise_weight=None) -> AllSGOutput:
     """Direct (visibility-attenuated) + indirect SG shading.
     Parity: sg_render.py:304-337. With ``fun_spec`` both specular fields
     are roughness-parameterized callables."""
@@ -546,7 +567,8 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
         vis_outer_fn=vis_outer_fn,
         lin_diff=lin_diff, metallic=metallic, diffuse_vis=diffuse_vis,
         prefit=prefit, argmax_vis=argmax_vis, fun_spec=fun_spec,
-        diffuse_sweep_chunk=diffuse_sweep_chunk)
+        diffuse_sweep_chunk=diffuse_sweep_chunk,
+        supervise_weight=supervise_weight)
 
     if indir_lgt_sgs is not None:
         indirect = render_with_sg(

@@ -165,9 +165,11 @@ class Stage2Model:
         flat = pts.reshape(-1, 3)
         sdf, feat = self.neus.sdf_and_feat(flat)
         grads = self.neus.grad(flat)
+        # NO bgr flip here: the reference's borrow_color calls
+        # neus_model.forward directly (neus_model.py:856-868), bypassing
+        # the bgr-flipping ImplicitNetworkMy.color() wrapper (:794-801) —
+        # traced-radiance supervision sees stage-1 channel order.
         color = self.neus.color(flat, grads, vds.reshape(-1, 3), feat)
-        if self.cfg.bgr:
-            color = jnp.flip(color, -1)
         color = color.reshape(pts.shape[0], n_samp, 3)
         sdf = sdf.reshape(pts.shape[0], n_samp, 1)
         return self.volume_render_color(sdf, color)
@@ -335,12 +337,18 @@ def stage2_forward(model: Stage2Model, key: jax.Array, inp: dict,
         out["normals"] = normals
         return out
 
-    # SG shading at the surface points
+    # SG shading at the surface points. The dense forward shades every
+    # lane (misses collapse to the camera origin), so render fns that
+    # compute batch-statistic losses (CESR's KL supervise and
+    # normal-consistency) get the surface mask to weight them — the
+    # reference only ever shades points[surface_mask]
+    # (implicit_differentiable_renderer.py:396-400).
     render = sg_render_fn or default_sg_render
     k_sg, key = jax.random.split(key)
     ret = render(model, k_sg, points, -ray_dirs, indirect_sgs,
                  indir_integral=indirect_integral, train_spec=train_spec,
-                 lin_diff=lin_diff, hdr_shift=hdr_shift, **sg_kwargs)
+                 lin_diff=lin_diff, hdr_shift=hdr_shift,
+                 surface_mask=surface_mask, **sg_kwargs)
 
     def masked(x, default=1.0):
         if x.ndim == 1:

@@ -30,7 +30,8 @@ from ..fields.sdf import SDFConfig, init_sdf, sdf_apply
 from ..render import sg as sg_lib
 from ..render.color import as_input, hdr2ldr
 from ..render.stage2 import Stage2Config, Stage2Model, stage2_forward
-from .losses import InvLossConfig, latent_smooth_loss, rgb_loss
+from .losses import (InvLossConfig, latent_smooth_loss, masked_spec_kl,
+                     rgb_loss)
 from .pbr import white_loss
 from .stage2_runner import (Stage2RunnerBase, StageOptConfig, join_params,
                             make_adam, split_params)
@@ -81,14 +82,48 @@ class CESRStageConfig:
 def shadow_net_vis(shadow_params, cfg: CESRStageConfig, points: jnp.ndarray,
                    num_lights: int) -> jnp.ndarray:
     """Per-light diffuse visibility: [N, 3] -> [N, L] softmax[..., 1]
-    (train_cesr.py:492-504)."""
+    (train_cesr.py:492-504).
+
+    Factorized over (points) x (labels) like visnet_outer_apply: the input
+    to the trunk is PE(x) (+) one-hot(l), so in the first layer (and the
+    skip layer's input half) the PE projection is identical across all L
+    labels — compute it once per point — and the one-hot projection is a
+    row of the weight matrix. Exact same math as materializing the
+    [N*L, pe+L] concat, without the (N, L, pe+L) broadcast input or the
+    N*L redundant PE-half MACs."""
     n = points.shape[0]
+    L = num_lights
+    scfg = cfg.shadow_cfg
     pe = positional_encoding(jax.lax.stop_gradient(points), SHADOW_PE)
-    pe = jnp.broadcast_to(pe[:, None, :], (n, num_lights, pe.shape[-1]))
-    labels = jnp.broadcast_to(jnp.eye(num_lights)[None], (n, num_lights, num_lights))
-    x = jnp.concatenate([pe, labels], -1).reshape(n * num_lights, -1)
-    logits = sdf_apply(shadow_params, cfg.shadow_cfg, x)
-    return jax.nn.softmax(logits.reshape(n, num_lights, 2), -1)[..., 1]
+    d_pe = pe.shape[-1]
+
+    def eff_w(p):
+        if "v" in p:
+            return p["v"] * (p["g"] / (jnp.linalg.norm(p["v"], axis=0) + 0.0))
+        return p["w"]
+
+    num_layers = len(scfg.dims)
+    inv_sqrt2 = 1.0 / np.sqrt(2)
+    h = None
+    for layer in range(num_layers - 1):
+        p = shadow_params[f"lin{layer}"]
+        w, b = eff_w(p), p["b"]
+        if layer == 0:
+            # w rows: [pe (d_pe), one-hot (L)]
+            pe_part = pe @ w[:d_pe]                      # [n, out]
+            lab_part = w[d_pe:d_pe + L]                  # [L, out]
+            h = pe_part[:, None, :] + lab_part[None] + b
+        elif layer in scfg.skip_in:
+            # concat([h, inputs]) / sqrt(2) @ w, with inputs = pe (+) onehot
+            d_h = h.shape[-1]
+            h = (h @ w[:d_h]
+                 + (pe @ w[d_h:d_h + d_pe])[:, None, :]
+                 + w[d_h + d_pe:d_h + d_pe + L][None]) * inv_sqrt2 + b
+        else:
+            h = h @ w + b
+        if layer < num_layers - 2:
+            h = jax.nn.softplus(h * 100.0) / 100.0
+    return jax.nn.softmax(h, -1)[..., 1]
 
 
 def normal_net_apply(normal_params, cfg: CESRStageConfig,
@@ -101,8 +136,14 @@ def normal_net_apply(normal_params, cfg: CESRStageConfig,
 def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
                    indir_integral=None, *, shadow_params, normal_params,
                    stage_cfg: CESRStageConfig, prefit: str, use_new_normal: bool,
-                   spec_var=None, train_spec=True, **_) -> dict:
-    """CESR get_sg_render (train_cesr.py:465-544)."""
+                   spec_var=None, train_spec=True, surface_mask=None,
+                   **_) -> dict:
+    """CESR get_sg_render (train_cesr.py:465-544).
+
+    ``surface_mask`` ([N] bool, from the dense stage2_forward) weights the
+    batch-statistic supervision terms (shadow-net KL, normal-consistency):
+    the reference shades surface points only, so its versions never see
+    miss rays (whose dense lanes collapse to the camera origin)."""
     view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
     normals = model.sdf_gradient(points)
     normals = normals / jnp.clip(jnp.linalg.norm(normals, axis=-1, keepdims=True),
@@ -119,6 +160,8 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
     normal_new = normal_net_apply(normal_params, stage_cfg, points)
     shade_normal = normal_new if use_new_normal else normal_map
 
+    sv_weight = (None if surface_mask is None
+                 else surface_mask.astype(jnp.float32))
     sg_ret = sg_lib.render_with_all_sg(
         k_sg, jax.lax.stop_gradient(points), shade_normal, view_dirs,
         mat.lgt_sgs, jnp.abs(mat.specular_reflectance), mat.roughness,
@@ -126,7 +169,9 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
         indir_integral=indir_integral, vis_fn=model.vis_logits,
         vis_outer_fn=model.vis_logits_outer,
         lin_diff=True, diffuse_vis=diffuse_vis, prefit=prefit,
-        argmax_vis=stage_cfg.argmax_vis)
+        argmax_vis=stage_cfg.argmax_vis,
+        diffuse_sweep_chunk=model.cfg.sweep_light_chunk,
+        supervise_weight=sv_weight)
 
     # recompose rgb: diffuse light x albedo / pi + specular (:523-524)
     sg_rgb = sg_ret.sg_diffuse_rgb * mat.diffuse_albedo / np.pi + sg_ret.sg_specular_rgb
@@ -136,7 +181,15 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
     supervise = sg_ret.supervise
     if stage_cfg.white_light and prefit != "warmup":
         supervise = supervise + white_loss(mat.lgt_sgs)
-    supervise = supervise + jnp.mean((normal_map - normal_new) ** 2)
+    # normal-consistency over surface points only (train_cesr.py:524 runs
+    # on the masked subset)
+    if sv_weight is None:
+        supervise = supervise + jnp.mean((normal_map - normal_new) ** 2)
+    else:
+        w = sv_weight[:, None]
+        supervise = supervise + jnp.sum(
+            w * (normal_map - normal_new) ** 2) / jnp.clip(
+            jnp.sum(w) * 3, 1.0, None)
 
     return {
         "normals": normals, "sg_rgb": sg_rgb, "indir_rgb": indir_rgb,
@@ -195,22 +248,20 @@ def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
                 else:
                     smooth_w, kl_w = stage_cfg.explore_smooth, stage_cfg.explore_kl
 
-                from ..fields.sparse_ae import encode as ae_encode
-                pts_pe = positional_encoding(out["points"], cfg.envmap.pe)
-                latent = ae_encode(
-                    params["envmap_material_network"]["spec_brdf_encoder_layer"],
-                    cfg.envmap.spec_brdf_ae, pts_pe, var=spec_var)
-                w = mask.astype(jnp.float32)[:, None]
-                rho_hat = jnp.sum(jax.nn.sigmoid(latent) * w, 0) / jnp.clip(
-                    jnp.sum(w), 1.0, None)
-                rho = 0.05
-                kl = jnp.mean(rho * jnp.log(rho / (rho_hat + 1e-4)) + (1 - rho)
-                              * jnp.log((1 - rho) / (1 - rho_hat + 1e-4))) * kl_w
+                # reference weighting: loss = sg_rgb_weight*rgb
+                # + (kl_weight*kl)*kl_w + (latent_smooth_weight*smooth)*smooth_w
+                # (model/loss.py:116-124 composed with train_cesr.py:409-412)
+                kl = masked_spec_kl(
+                    params["envmap_material_network"], cfg.envmap,
+                    out["points"], mask,
+                    var=spec_var) * stage_cfg.loss.kl_weight * kl_w
                 smooth = latent_smooth_loss(
                     out["diffuse_albedo"], out["roughness"],
                     out["random_xi_diffuse_albedo"], out["random_xi_roughness"]
-                ) * smooth_w
-                total = total + sg_rgb_loss + kl + smooth
+                ) * stage_cfg.loss.latent_smooth_weight * smooth_w
+                total = (total + stage_cfg.loss.sg_rgb_weight * sg_rgb_loss
+                         + kl + smooth)
+                w = mask.astype(jnp.float32)[:, None]
                 mse = jnp.sum(w * (pred - batch["rgb"]) ** 2) / jnp.clip(
                     jnp.sum(w) * 3, 1.0, None)
                 metrics.update({"rgb_loss": sg_rgb_loss, "kl": kl,
@@ -234,9 +285,15 @@ class CESRRunner(Stage2RunnerBase):
     def __init__(self, cfg: Stage2Config, params: dict, dataset: SynDataset,
                  stage_cfg: CESRStageConfig = CESRStageConfig(),
                  log_dir: str | None = None, seed: int = 0, mesh=None):
-        # fresh shadow/normal nets (train_cesr.py:106-110)
-        if stage_cfg.num_lights != cfg.envmap.num_lgt_sgs and \
-                type(stage_cfg) is CESRStageConfig:
+        # fresh shadow/normal nets (train_cesr.py:106-110).
+        # num_lights is the one-hot label width over the envmap's SG lights
+        # — any value other than num_lgt_sgs is wrong by construction
+        # (shadow_net_vis sizes its labels from lgt_sgs at trace time), so
+        # always reconcile rather than failing with a shape error inside jit.
+        if stage_cfg.num_lights != cfg.envmap.num_lgt_sgs:
+            print(f"[CESR] num_lights {stage_cfg.num_lights} != "
+                  f"envmap num_lgt_sgs {cfg.envmap.num_lgt_sgs}; using "
+                  f"{cfg.envmap.num_lgt_sgs}")
             stage_cfg = dataclasses.replace(
                 stage_cfg, num_lights=cfg.envmap.num_lgt_sgs)
         if stage_cfg.dropout_iter == -2:

@@ -84,6 +84,24 @@ def kl_loss(raw_latent, rho: float = 0.05) -> jnp.ndarray:
     return ae_kl_divergence(raw_latent, rho)
 
 
+def masked_spec_kl(envmap_params, envmap_cfg, points, mask,
+                   var=None, rho: float = 0.05) -> jnp.ndarray:
+    """Bernoulli KL sparsity on the spec-BRDF encoder latents at surface
+    points (reference loss.py:85-95 evaluated at points[network_object_mask],
+    loss.py:114): dense equivalent via a mask-weighted batch mean. Shared by
+    the PBR and CESR steps (CESR passes the dropout ``var``)."""
+    from ..fields.encoding import positional_encoding
+    from ..fields.sparse_ae import encode as ae_encode
+    pts_pe = positional_encoding(points, envmap_cfg.pe)
+    latent = ae_encode(envmap_params["spec_brdf_encoder_layer"],
+                       envmap_cfg.spec_brdf_ae, pts_pe, var=var)
+    w = mask.astype(jnp.float32)[:, None]
+    rho_hat = jnp.sum(jax.nn.sigmoid(latent) * w, 0) / jnp.clip(
+        jnp.sum(w), 1.0, None)
+    return jnp.mean(rho * jnp.log(rho / (rho_hat + 1e-4)) + (1 - rho)
+                    * jnp.log((1 - rho) / (1 - rho_hat + 1e-4)))
+
+
 # ---------------------------------------------------------------------------
 # IllumLoss (Vis stage)
 # ---------------------------------------------------------------------------

@@ -20,12 +20,11 @@ import numpy as np
 import optax
 
 from ..data.syn_dataset import SynDataset
-from ..fields.encoding import positional_encoding
-from ..fields.sparse_ae import encode as ae_encode
 from ..render import sg as sg_lib
 from ..render.color import as_input, hdr2ldr
 from ..render.stage2 import Stage2Config, Stage2Model, stage2_forward
-from .losses import InvLossConfig, latent_smooth_loss, rgb_loss
+from .losses import (InvLossConfig, latent_smooth_loss, masked_spec_kl,
+                     rgb_loss)
 from .stage2_runner import (Stage2RunnerBase, StageOptConfig, join_params,
                             make_adam, split_params)
 
@@ -40,10 +39,13 @@ class PBRStageConfig:
 
 
 def white_loss(lgt_sgs: jnp.ndarray) -> jnp.ndarray:
-    """Chromaticity variance of SG amplitudes (train_pbr.py:313-316)."""
+    """Chromaticity variance of SG amplitudes (train_pbr.py:313-316).
+    ddof=1: torch ``.var(-1)`` is unbiased (divides by n-1=2 over the 3
+    channels); jnp.var defaults to ddof=0, which would make the penalty
+    2/3 of the reference magnitude."""
     lgt = jnp.abs(lgt_sgs[..., -3:])
     mu = jnp.linalg.norm(lgt, axis=-1, keepdims=True) + 1e-4
-    return jnp.var(lgt / mu, axis=-1).mean() * 0.01
+    return jnp.var(lgt / mu, axis=-1, ddof=1).mean() * 0.01
 
 
 def pbr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
@@ -66,7 +68,8 @@ def pbr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
         jnp.abs(mat.specular_reflectance), mat.roughness, mat.diffuse_albedo,
         indir_lgt_sgs=indir_lgt_sgs, indir_integral=indir_integral,
         vis_fn=model.vis_logits, vis_outer_fn=model.vis_logits_outer,
-        lin_diff=lin_diff, argmax_vis=argmax_vis)
+        lin_diff=lin_diff, argmax_vis=argmax_vis,
+        diffuse_sweep_chunk=model.cfg.sweep_light_chunk)
 
     return {
         "normals": normals,
@@ -113,22 +116,16 @@ def make_pbr_step(cfg: Stage2Config, stage_cfg: PBRStageConfig,
 
             # KL on spec-brdf latents of surface points (loss.py:85-95);
             # masked mean over surface lanes only
-            pts_pe = positional_encoding(out["points"], cfg.envmap.pe)
-            latent = ae_encode(
-                params["envmap_material_network"]["spec_brdf_encoder_layer"],
-                cfg.envmap.spec_brdf_ae, pts_pe)
-            w = mask.astype(jnp.float32)[:, None]
-            rho_hat = jnp.sum(jax.nn.sigmoid(latent) * w, 0) / jnp.clip(
-                jnp.sum(w), 1.0, None)
-            rho = 0.05
-            kl = jnp.mean(rho * jnp.log(rho / (rho_hat + 1e-4)) + (1 - rho)
-                          * jnp.log((1 - rho) / (1 - rho_hat + 1e-4)))
-            kl = kl * stage_cfg.loss.kl_weight
+            kl = masked_spec_kl(params["envmap_material_network"],
+                                cfg.envmap, out["points"],
+                                mask) * stage_cfg.loss.kl_weight
 
+            # reference: (latent_smooth_weight * smooth) * 0.1
+            # (model/loss.py:122 composed with train_pbr.py:333)
             smooth = latent_smooth_loss(
                 out["diffuse_albedo"], out["roughness"],
                 out["random_xi_diffuse_albedo"], out["random_xi_roughness"]
-            ) * 0.1
+            ) * stage_cfg.loss.latent_smooth_weight * 0.1
 
             wl = white_loss(params["envmap_material_network"]["lgtSGs"])
             total = (stage_cfg.loss.sg_rgb_weight * sg_rgb_loss + kl + smooth + wl)

@@ -7,9 +7,11 @@ frozen NeuS (``:298-299``), IllumLoss split into a radiance loss stepping
 the indirect net and a cross-entropy visibility loss stepping the vis net,
 with two separate Adam optimizers (``:99-112, :306-313``).
 
-TPU-native: both losses and both optimizer updates run in ONE jitted step —
-gradients are taken separately per subtree, exactly matching the two
-independent backward passes.
+TPU-native: both losses and both optimizer updates run in ONE jitted step,
+with a single combined forward+backward — the per-subtree gradients equal
+the reference's two independent backward passes because the visibility CE
+touches only the vis net and the radiance loss only the indirect net
+(cross-gradients are structurally zero).
 """
 
 from __future__ import annotations
@@ -88,15 +90,20 @@ def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
                     "vis_conf_occ": mean_in(occ.astype(jnp.float32))}
             return rad, vis, diag
 
-        # visibility loss -> vis net only (aux carries radiance + diag)
-        (vis_loss, (rad_loss, diag)), vis_grads = jax.value_and_grad(
-            lambda vp: (lambda r, v, d: (v, (r, d)))(
-                *run_model(vp, illum_params)),
-            has_aux=True)(vis_params)
-        # radiance loss -> indirect net only
-        (_, _), illum_grads = jax.value_and_grad(
-            lambda ip: (lambda r, v, d: (r, v))(
-                *run_model(vis_params, ip)), has_aux=True)(illum_params)
+        # ONE forward+backward over both subtrees: the summed loss yields
+        # gradients identical to the reference's two independent backwards
+        # because the cross-terms are structurally zero — the CE visibility
+        # loss touches only visibility_network (its labels are traced
+        # through the frozen NeuS), and the radiance loss touches only
+        # indirect_illum_network. The split formulation re-ran the full
+        # 512-dir secondary trace and a second backward for nothing.
+        def loss_fn(both):
+            rad, vis, diag = run_model(*both)
+            return rad + vis, (rad, vis, diag)
+
+        (_, (rad_loss, vis_loss, diag)), (vis_grads, illum_grads) = \
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                (vis_params, illum_params))
 
         v_updates, vis_state = vis_opt.update(vis_grads, vis_state, vis_params)
         vis_params = optax.apply_updates(vis_params, v_updates)
@@ -197,10 +204,14 @@ def vis_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = None
 
     @jax.jit
     def chunk_fn(d, o, k):
+        # independent keys: forward and trace both split their key first,
+        # so sharing k would correlate the indirect net's noise with the
+        # traced sample directions (the train step splits k_fwd/k_trace)
+        k_fwd, k_trace = jax.random.split(k)
         inp = {"points": o, "dirs": d,
                "hdr_shift": jnp.full((d.shape[0], 1), 0.5)}
-        fwd = stage2_forward(model, k, inp, trainstage="Illum")
-        tr = trace_radiance(model, k, fwd, nsamp=nsamp)
+        fwd = stage2_forward(model, k_fwd, inp, trainstage="Illum")
+        tr = trace_radiance(model, k_trace, fwd, nsamp=nsamp)
         pred = jax.nn.softmax(tr["pred_vis"], -1)[..., 1].mean(-1)
         gt = 1.0 - tr["gt_vis"].astype(jnp.float32).mean(-1)
         m = fwd["network_object_mask"]

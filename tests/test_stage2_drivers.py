@@ -216,3 +216,102 @@ def test_norm_and_vis_plots(setup, tmp_path):
     vis.grid_values = norm.grid_values
     p = vis_plot_to_disk(vis, dataset, idx=0, chunk=512, nsamp=4)
     assert os.path.exists(p)
+
+
+def test_shadow_net_vis_factorization_exact():
+    """The factorized (points x labels) shadow sweep equals the dense
+    [N*L, pe+L] concat formulation bit-for-bit math (same weights)."""
+    import jax
+    import jax.numpy as jnp
+    from robir_tpu.fields.sdf import init_sdf, sdf_apply
+    from robir_tpu.fields.encoding import positional_encoding
+    from robir_tpu.stages.cesr import (CESRStageConfig, SHADOW_PE,
+                                       shadow_net_vis)
+
+    L = 6
+    cfg = CESRStageConfig(num_lights=L)
+    # small trunk, keep the skip at layer 2 to exercise the skip split
+    import dataclasses as dc
+    # d_hidden must exceed the PE+label input width (63+L) for the skip
+    scfg = dc.replace(cfg.shadow_cfg, d_hidden=128, n_layers=4, skip_in=(2,))
+    cfg = _PatchedCESR(cfg, scfg)
+    params = init_sdf(jax.random.PRNGKey(3), scfg)
+    pts = jax.random.normal(jax.random.PRNGKey(4), (17, 3))
+
+    got = shadow_net_vis(params, cfg, pts, L)
+
+    # dense reference (the pre-factorization formulation)
+    n = pts.shape[0]
+    pe = positional_encoding(jax.lax.stop_gradient(pts), SHADOW_PE)
+    pe_b = jnp.broadcast_to(pe[:, None, :], (n, L, pe.shape[-1]))
+    labels = jnp.broadcast_to(jnp.eye(L)[None], (n, L, L))
+    x = jnp.concatenate([pe_b, labels], -1).reshape(n * L, -1)
+    logits = sdf_apply(params, scfg, x)
+    want = jax.nn.softmax(logits.reshape(n, L, 2), -1)[..., 1]
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+class _PatchedCESR:
+    """CESRStageConfig stand-in with an overridden shadow_cfg."""
+
+    def __init__(self, base, scfg):
+        self._base = base
+        self._scfg = scfg
+
+    @property
+    def shadow_cfg(self):
+        return self._scfg
+
+    def __getattr__(self, k):
+        return getattr(self._base, k)
+
+
+def test_vis_cross_gradients_structurally_zero(setup):
+    """The combined Vis backward (one value_and_grad over both subtrees)
+    equals the reference's two independent backwards iff the cross-terms
+    vanish: d(vis CE)/d(illum params) == 0 and d(radiance)/d(vis params)
+    == 0. Verify on a real forward."""
+    import jax
+    import jax.numpy as jnp
+    from robir_tpu.render.stage2 import stage2_forward, trace_radiance
+    from robir_tpu.render.stage2 import Stage2Model
+    from robir_tpu.stages.losses import IllumLossConfig, illum_loss
+    from robir_tpu.stages.stage2_runner import join_params, split_params
+    from robir_tpu.stages.vis import VisRunner, VisStageConfig
+
+    dataset, cfg, params, _ = setup
+    vis = VisRunner(cfg, params, dataset,
+                    VisStageConfig(num_pixels=16, nsamp=8, opt=SMALL_OPT))
+    vis.bake_grid()
+    b = dataset.sample_pixels(np.random.default_rng(0), 0, 16)
+    key = jax.random.PRNGKey(5)
+    k_fwd, k_trace = jax.random.split(key)
+
+    def losses(vp, ip):
+        full = join_params(join_params(vp, ip), vis._frozen)
+        model = Stage2Model(full, cfg, vis.grid_values)
+        inp = {"points": jnp.asarray(b["points"]),
+               "dirs": jnp.asarray(b["dirs"]),
+               "object_mask": jnp.asarray(b["object_mask"]),
+               "hdr_shift": jnp.full((16, 1), 0.5)}
+        fwd = stage2_forward(model, k_fwd, inp, trainstage="Illum")
+        tr = trace_radiance(model, k_trace, fwd, nsamp=8)
+        return illum_loss(
+            IllumLossConfig(loss_type="L1"),
+            indirect_sgs=fwd["indirect_sgs"],
+            indir_integral=fwd["indir_integral"],
+            network_object_mask=fwd["network_object_mask"],
+            trace_radiance=tr["trace_radiance"],
+            sample_dirs=tr["sample_dirs"], gt_vis=tr["gt_vis"],
+            pred_vis=tr["pred_vis"], indir_mask=tr["indir_mask"],
+            gt_integral=tr["gt_integral"], anneal_t=0.0)
+
+    # d(vis)/d(illum) and d(rad)/d(vis) must be identically zero
+    g_vis_wrt_illum = jax.grad(lambda ip: losses(vis._vis, ip)[1])(vis._illum)
+    g_rad_wrt_vis = jax.grad(lambda vp: losses(vp, vis._illum)[0])(vis._vis)
+    for leaf in jax.tree_util.tree_leaves(g_vis_wrt_illum):
+        assert float(jnp.abs(leaf).max()) == 0.0
+    for leaf in jax.tree_util.tree_leaves(g_rad_wrt_vis):
+        assert float(jnp.abs(leaf).max()) == 0.0

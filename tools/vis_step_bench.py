@@ -1,0 +1,61 @@
+"""Time the Vis train step at reference constants (256 px x 512 dirs).
+
+Round-2 context: the step was rewritten from two independent
+value_and_grad calls (one per optimizer subtree, re-running the full
+512-dir secondary trace twice) to ONE combined forward+backward — the
+cross-gradients are structurally zero (tests/test_stage2_drivers.py::
+test_vis_cross_gradients_structurally_zero), so gradients are identical.
+
+Prints one JSON line with ms/step (scan-timed, best-of-N — see
+tools/profiler.time_scanned for why dispatch-loop timing is meaningless
+through the axon tunnel).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, ".")
+    from robir_tpu.core.config import build_stage2_config, load_config
+    from robir_tpu.data.synthetic import make_sphere_dataset
+    from robir_tpu.data.syn_dataset import SynDataset, SynDatasetConfig
+    from robir_tpu.stages.stage2_runner import init_stage2_params
+    from robir_tpu.stages.vis import VisRunner, VisStageConfig
+    from robir_tpu.tools.profiler import time_scanned
+    import tempfile
+
+    conf = load_config("configs/hotdog.json")
+    cfg = build_stage2_config(conf["model"])
+    with tempfile.TemporaryDirectory() as d:
+        make_sphere_dataset(d, n_train=4, n_test=1, h=200, w=200, radius=0.5)
+        dataset = SynDataset(SynDatasetConfig(instance_dir=d))
+        params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+        runner = VisRunner(cfg, params, dataset,
+                           VisStageConfig(num_pixels=256, nsamp=512))
+        runner.bake_grid()
+        batch = runner._batch()
+        step = runner._step
+
+        def one(carry):
+            vp, ip, vs, istate, k = carry
+            k, sk = jax.random.split(k)
+            vp, ip, vs, istate, _ = step(vp, ip, runner._frozen, vs, istate,
+                                         runner.grid_values, batch, sk)
+            return (vp, ip, vs, istate, k)
+
+        carry = (runner._vis, runner._illum, runner.vis_state,
+                 runner.illum_state, jax.random.PRNGKey(1))
+        ms = time_scanned(one, carry, n_steps=10, reps=3) * 1e3
+        print(json.dumps({"metric": "vis_step_ms", "value": round(ms, 2),
+                          "px_per_sec": round(256 / (ms / 1e3), 1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -349,7 +349,8 @@ def cmd_norm(args):
     ts = TexSampler(args.mesh, cfg_dict.get("texture_resolution", 2048))
     fs = focus_sampler_from_dataset(dataset)
     trace = jax.jit(lambda o, d: grid_cast(runner.grid_values, cfg.grid, o, d))
-    runner.sampler = TexSpaceSampler(ts, fs, trace)
+    runner.sampler = TexSpaceSampler(
+        ts, fs, trace, offset=TexSpaceSampler.offset_for_grid(cfg.grid))
     _run_stage(runner, args, stage_cfg.max_iters, "Norm", dataset=dataset)
 
 

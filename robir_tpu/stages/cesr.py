@@ -355,7 +355,7 @@ class CESRRunner(Stage2RunnerBase):
                 if log_fn:
                     log_fn(self.cur_iter, metrics)
         self.params = join_params(self._trainable, self._frozen)
-        if not metrics:
+        if not metrics and n_iters > 0:
             metrics = {k: float(v) for k, v in m.items()}
         return metrics
 

@@ -319,7 +319,7 @@ class NeusTrainer:
             if self.log_dir and self.step % self.train_cfg.ckpt_every == 0:
                 self.save()
         jax.block_until_ready(self.params)
-        if not last:
+        if not last and n_steps > 0:
             last = {k: float(v) for k, v in metrics.items()}
         return last
 
@@ -361,7 +361,6 @@ class NeusTrainer:
         if self._prefetch is None:
             self._prefetch = Prefetcher(self._sample)
         batch = next(self._prefetch)
-        del warmup
         train_cfg = self.train_cfg
         render_fn = self._render_fn
         optimizer = self.optimizer
@@ -384,9 +383,10 @@ class NeusTrainer:
             return p, s
 
         f = jax.jit(multi)
-        out = f(self.params, self.opt_state, batch, jax.random.PRNGKey(0))
-        jax.block_until_ready(out)
-        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        for i in range(max(1, warmup)):  # compile + steady-state warmup
+            out = f(self.params, self.opt_state, batch, jax.random.PRNGKey(0))
+            jax.block_until_ready(out)
+            float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         best = float("inf")
         for rep in range(reps):
             t0 = time.perf_counter()

@@ -104,7 +104,7 @@ class NormRunner(Stage2RunnerBase):
                 if log_fn:
                     log_fn(self.cur_iter, metrics)
         self.params = join_params(self._trainable, self._frozen)
-        if not metrics:
+        if not metrics and n_iters > 0:
             metrics = {k: float(v) for k, v in m.items()}
         return metrics
 
@@ -129,6 +129,11 @@ def get_neus_surface(model, points, view_dirs, pred_normals, n_samp: int = 32,
 
     next_sdf = jnp.concatenate([sdfs[:, 1:], sdfs[:, -1:]], 1).reshape(-1, 1)
     prev_sdf = jnp.concatenate([sdfs[:, :-1], sdfs[:, -1:]], 1).reshape(-1, 1)
+    if model.neus is None:
+        raise ValueError(
+            "get_neus_surface needs the frozen NeuS bridge (its alpha uses "
+            "the deviation network's inv_s); the Norm stage's short-segment "
+            "integration is undefined with model.use_neus=false")
     inv_s = model.neus.inv_s()
     prev_cdf = jax.nn.sigmoid(prev_sdf * inv_s)
     next_cdf = jax.nn.sigmoid(next_sdf * inv_s)
@@ -172,8 +177,8 @@ def norm_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = Non
                                      runner.cfg.envmap.ipe)
         ae = runner.params["envmap_material_network"]["normal_decoder_layer"]
         normal, _ = sparse_ae_apply(ae, runner.cfg.envmap.normal_ae, pts_ipe)
-        normal = normal / jnp.clip(jnp.linalg.norm(normal, -1, keepdims=True),
-                                   1e-4, None)
+        normal = normal / jnp.clip(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-4, None)
         _, neus_n, _ = get_neus_surface(model, x, d, normal)
         m = hit[:, None]
         return jnp.where(m, normal, 1.0), jnp.where(m, neus_n, 1.0)

@@ -161,6 +161,7 @@ class Stage2RunnerBase:
         """Path-filtered partial restore (the reference's cross-stage
         checkpoint surgery, e.g. train_pbr.py:122-203)."""
         self.params, _ = ckpt_lib.restore_into(self.params, path, keep=keep)
+        self._refresh_after_restore()
 
     def restore_latest(self) -> bool:
         path = os.path.join(self.ckpt_dir(), "latest.npz")
@@ -168,7 +169,23 @@ class Stage2RunnerBase:
             return False
         self.params, meta = ckpt_lib.restore_into(self.params, path)
         self.cur_iter = meta.get("step", 0)
+        self._refresh_after_restore()
         return True
+
+    def _refresh_after_restore(self) -> None:
+        """Re-derive cached parameter partitions from ``self.params``.
+
+        Without this, a restore updates self.params but training continues
+        from the stale pre-restore split and the next save() overwrites the
+        checkpoint with from-scratch weights — the silent stage-surgery
+        degradation class. The default covers the standard
+        (TRAINABLE-split, single optimizer) runners; VisRunner overrides
+        for its dual-optimizer split. Optimizer moments restart (stage-2
+        checkpoints carry params only)."""
+        if hasattr(self, "_trainable") and hasattr(self, "TRAINABLE"):
+            self._trainable, self._frozen = split_params(
+                self.params, self.TRAINABLE)
+            self.opt_state = self.optimizer.init(self._trainable)
 
 
 def render_view(model: Stage2Model, dataset, idx: int, sg_render_fn=None,

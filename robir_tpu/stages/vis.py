@@ -139,6 +139,13 @@ class VisRunner(Stage2RunnerBase):
         self.illum_state = self.illum_opt.init(self._illum)
         self._step = make_vis_step(cfg, stage_cfg, self.vis_opt, self.illum_opt)
 
+    def _refresh_after_restore(self) -> None:
+        # dual split: restored params must re-partition into vis/illum/frozen
+        self._vis, rest = split_params(self.params, self.VIS_PREFIX)
+        self._illum, self._frozen = split_params(rest, self.ILLUM_PREFIX)
+        self.vis_state = self.vis_opt.init(self._vis)
+        self.illum_state = self.illum_opt.init(self._illum)
+
     def fit_energy_prologue(self, n_steps: int = 1000) -> None:
         """Energy-net inner fit on the dataset's masked pixels
         (train_visibility.py:274 -> energy_integral.py:51-77)."""
@@ -182,7 +189,7 @@ class VisRunner(Stage2RunnerBase):
                     log_fn(self.cur_iter, metrics)
         self.params = join_params(join_params(self._vis, self._illum),
                                   self._frozen)
-        if not metrics:
+        if not metrics and n_iters > 0:
             metrics = {k: float(v) for k, v in m.items()}
         return metrics
 

@@ -38,43 +38,53 @@ class FocusSampler:
         self.img_size = np.array([h, w], np.float32)
         self.n_cameras = len(self.images)
 
-    def project(self, x: np.ndarray):
+    def _cam_sel(self, cameras) -> np.ndarray:
+        return (np.arange(self.n_cameras) if cameras is None
+                else np.asarray(cameras, int))
+
+    def project(self, x: np.ndarray, cameras=None):
         """x [N, 3] -> (uv [M, N, 2] pixel coords, view_dir [M, N, 3]
-        camera->point). Parity: inv_camera_params (focus_sampler.py:17-30)."""
-        M = self.n_cameras
-        ray = x[None] - self.cam_loc[:, None]                     # [M, N, 3]
+        camera->point). Parity: inv_camera_params (focus_sampler.py:17-30).
+        ``cameras`` restricts to a subset of camera indices (M = len)."""
+        sel = self._cam_sel(cameras)
+        cam_loc = self.cam_loc[sel]
+        ray = x[None] - cam_loc[:, None]                          # [M, N, 3]
         ray = ray / np.clip(np.linalg.norm(ray, axis=-1, keepdims=True), 1e-9, None)
-        pts = ray + self.cam_loc[:, None]                         # unit sphere around cam
+        pts = ray + cam_loc[:, None]                              # unit sphere around cam
         hom = np.concatenate([pts, np.ones_like(pts[..., :1])], -1)
-        cam_pts = np.einsum("mij,mnj->mni", self.pose_inv, hom)   # camera space
+        cam_pts = np.einsum("mij,mnj->mni", self.pose_inv[sel], hom)  # camera space
         z = -cam_pts[..., 2:3]
         ndc = cam_pts / np.where(np.abs(z) > 1e-9, z, 1e-5)
         ndc[..., 1:3] *= -1
-        uvh = np.einsum("mij,mnj->mni", self.intrinsics, ndc[..., :3])
+        uvh = np.einsum("mij,mnj->mni", self.intrinsics[sel], ndc[..., :3])
         return uvh[..., :2], ray
 
-    def sample_images(self, uv: np.ndarray) -> np.ndarray:
+    def sample_images(self, uv: np.ndarray, cameras=None) -> np.ndarray:
+        sel = self._cam_sel(cameras)
         out = np.zeros(uv.shape[:2] + (3,), np.float32)
-        for m in range(self.n_cameras):
-            g = uv[m] / np.array([self.img_size[1], self.img_size[0]])
-            out[m] = bilinear_sample(self.images[m], g)
+        for i, m in enumerate(sel):
+            g = uv[i] / np.array([self.img_size[1], self.img_size[0]])
+            out[i] = bilinear_sample(self.images[m], g)
         return out
 
-    def sample_masks(self, uv: np.ndarray) -> np.ndarray:
+    def sample_masks(self, uv: np.ndarray, cameras=None) -> np.ndarray:
+        sel = self._cam_sel(cameras)
         out = np.zeros(uv.shape[:2], bool)
-        for m in range(self.n_cameras):
-            g = uv[m] / np.array([self.img_size[1], self.img_size[0]])
-            out[m] = bilinear_sample(self.masks[m], g)[:, 0] > 0.5
+        for i, m in enumerate(sel):
+            g = uv[i] / np.array([self.img_size[1], self.img_size[0]])
+            out[i] = bilinear_sample(self.masks[m], g)[:, 0] > 0.5
         return out
 
-    def scatter_sample(self, x: np.ndarray):
+    def scatter_sample(self, x: np.ndarray, cameras=None):
         """x [N, 3] -> (sample dict, ground truth) like
-        focus_sampler.py:63-101."""
-        uv, view_dir = self.project(x)
-        rgb = self.sample_images(uv)
+        focus_sampler.py:63-101. With ``cameras``, only those camera rows
+        are projected and sampled (axis 0 of every output follows the
+        given order)."""
+        uv, view_dir = self.project(x, cameras)
+        rgb = self.sample_images(uv, cameras)
         in_bounds = ((uv >= 0) & (uv < np.array([self.img_size[1],
                                                  self.img_size[0]]))).all(-1)
-        valid = in_bounds & self.sample_masks(uv)
+        valid = in_bounds & self.sample_masks(uv, cameras)
         return ({"object_mask": valid, "uv": uv, "view_dir": view_dir},
                 {"rgb": rgb})
 
@@ -93,24 +103,37 @@ class TexSpaceSampler:
     the jitted grid tracer bound to the frozen SDF."""
 
     def __init__(self, tex_sampler: TexSampler, focus_sampler: FocusSampler,
-                 trace_fn):
+                 trace_fn, offset: float = 0.005):
         self.tex_sampler = tex_sampler
         self.focus_sampler = focus_sampler
         self.trace_fn = trace_fn
+        # secondary-ray origin bias: the reference's fixed 0.005
+        # (tex_module.py:24); against the cached-SDF grid tracer it must
+        # also clear the hit epsilon or grazing rays self-hit (the round-1
+        # Vis label-noise class — see render/stage2.trace_radiance). Use
+        # offset_for_grid() when trace_fn is grid_cast.
+        self.offset = offset
+
+    @staticmethod
+    def offset_for_grid(grid_cfg) -> float:
+        """max(0.005, 2 * hit_eps) for a GridConfig-backed trace_fn."""
+        return max(0.005, 2.0 * grid_cfg.hit_eps_cells * grid_cfg.cell)
 
     def sample_observations(self, rng: np.random.Generator, x: np.ndarray,
                             normals: np.ndarray):
         """One random camera: rgb/dir/visibility for each point
-        (tex_module.py:13-33)."""
+        (tex_module.py:13-33). Only the chosen camera is projected and
+        sampled (the reference samples all cameras then indexes one —
+        n_cameras x wasted host work on the per-iteration path)."""
         cam = int(rng.integers(self.focus_sampler.n_cameras))
-        sample, gt = self.focus_sampler.scatter_sample(x)
-        cam_dir = sample["view_dir"][cam]       # [N, 3] camera -> point
-        obj_mask = sample["object_mask"][cam]   # [N]
+        sample, gt = self.focus_sampler.scatter_sample(x, cameras=[cam])
+        cam_dir = sample["view_dir"][0]         # [N, 3] camera -> point
+        obj_mask = sample["object_mask"][0]     # [N]
         cam_pos = self.focus_sampler.cam_loc[cam]
-        rgb = gt["rgb"][cam]
+        rgb = gt["rgb"][0]
 
         import jax.numpy as jnp
-        origins = jnp.asarray(x + normals * 0.005)
+        origins = jnp.asarray(x + normals * self.offset)
         dirs = jnp.asarray(-cam_dir)
         _, hit, _ = self.trace_fn(origins, dirs)
         vis = obj_mask & ~np.asarray(hit)

@@ -35,11 +35,16 @@ def erode_map(image: np.ndarray, mask: np.ndarray, iterations: int = 1) -> np.nd
 
     inv_mask = mask.mean(-1) < 1
     m = (mask.mean(-1) >= 1).astype(np.float32)
-    for _ in range(iterations):
-        rgb = conv(image * m[..., None])
-        a = conv(np.ones_like(image[..., :1]) * m[..., None])
-        avg = rgb.sum(0) / np.clip(a.sum(0), 1e-4, 9.0)
-        image[inv_mask] = avg[inv_mask]
+    # one pass regardless of `iterations`: the reference's loop
+    # (texture_model.py:31-44) never updates the mask, so every pass after
+    # the first recomputes a byte-identical result — the parameter is kept
+    # for signature parity but extra passes are pure waste (two ~450 MB
+    # 9-neighbor stacks at 2048^2 each).
+    del iterations
+    rgb = conv(image * m[..., None])
+    a = conv(np.ones_like(image[..., :1]) * m[..., None])
+    avg = rgb.sum(0) / np.clip(a.sum(0), 1e-4, 9.0)
+    image[inv_mask] = avg[inv_mask]
     return image
 
 
@@ -96,8 +101,12 @@ def _load_obj_mesh(path: str) -> Mesh:
             if line.startswith("v "):
                 verts.append([float(x) for x in line.split()[1:4]])
             elif line.startswith("f "):
-                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:4]]
-                tris.append(idx)
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                # fan-triangulate quads/ngons (trimesh, which the reference
+                # uses, triangulates too — keeping only the first 3 indices
+                # would silently drop half of every quad)
+                for k in range(1, len(idx) - 1):
+                    tris.append([idx[0], idx[k], idx[k + 1]])
     return Mesh(np.asarray(verts, np.float32), np.asarray(tris, np.int32))
 
 

@@ -315,3 +315,45 @@ def test_vis_cross_gradients_structurally_zero(setup):
         assert float(jnp.abs(leaf).max()) == 0.0
     for leaf in jax.tree_util.tree_leaves(g_rad_wrt_vis):
         assert float(jnp.abs(leaf).max()) == 0.0
+
+
+def test_restore_latest_refreshes_split(setup, tmp_path):
+    """restore_latest must re-derive the (trainable, frozen) split:
+    without it, resume trains from stale pre-restore weights and the next
+    save() silently overwrites the checkpoint (the stage-surgery
+    degradation class)."""
+    dataset, cfg, params, _ = setup
+    pbr = PBRRunner(cfg, params, dataset,
+                    PBRStageConfig(num_pixels=32, opt=SMALL_OPT),
+                    log_dir=str(tmp_path))
+    pbr.bake_grid()
+    pbr.run(3, log_every=1)
+    ckpt = pbr.save()
+    trained_leaf = np.asarray(jax.tree_util.tree_leaves(
+        pbr._trainable["envmap_material_network"])[0])
+
+    fresh = PBRRunner(cfg, params, dataset,
+                      PBRStageConfig(num_pixels=32, opt=SMALL_OPT),
+                      log_dir=str(tmp_path))
+    assert fresh.restore_latest()
+    restored_leaf = np.asarray(jax.tree_util.tree_leaves(
+        fresh._trainable["envmap_material_network"])[0])
+    np.testing.assert_array_equal(restored_leaf, trained_leaf)
+    assert fresh.cur_iter == 3
+
+    # Vis: dual split refresh
+    vis = VisRunner(cfg, params, dataset,
+                    VisStageConfig(num_pixels=16, nsamp=8, opt=SMALL_OPT),
+                    log_dir=str(tmp_path))
+    from robir_tpu.stages.stage2_runner import join_params
+    vis.grid_values = pbr.grid_values
+    vis.run(2)
+    vis.params = join_params(join_params(vis._vis, vis._illum), vis._frozen)
+    vis.save()
+    vis2 = VisRunner(cfg, params, dataset,
+                     VisStageConfig(num_pixels=16, nsamp=8, opt=SMALL_OPT),
+                     log_dir=str(tmp_path))
+    assert vis2.restore_latest()
+    a = np.asarray(jax.tree_util.tree_leaves(vis2._vis)[0])
+    b = np.asarray(jax.tree_util.tree_leaves(vis._vis)[0])
+    np.testing.assert_array_equal(a, b)

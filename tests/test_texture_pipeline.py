@@ -131,3 +131,18 @@ class TestTexSpaceSampler:
         cam = inputs["points"][0]
         t = np.sum((0.25 * normal[m] - cam) * inputs["dirs"][m], -1)
         assert (t > 0).mean() > 0.95
+
+
+def test_obj_loader_triangulates_quads(tmp_path):
+    """Quad faces fan-triangulate instead of silently dropping geometry."""
+    from robir_tpu.texture.pipeline import _load_obj_mesh
+    p = tmp_path / "quad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+                 "f 1/1 2/2 3/3 4/4\n")
+    mesh = _load_obj_mesh(str(p))
+    assert mesh.tris.shape == (2, 3)
+    # both triangles of the quad present, total area 1.0
+    a = mesh.verts[mesh.tris]
+    area = 0.5 * np.abs(np.cross(a[:, 1] - a[:, 0],
+                                 a[:, 2] - a[:, 0])[:, 2]).sum()
+    assert area == pytest.approx(1.0)

@@ -131,9 +131,16 @@ class SynDataset:
         return dirs.astype(np.float32), cam_loc.astype(np.float32)
 
     def sample_pixels(self, rng: np.random.Generator, idx: int, n: int) -> dict:
-        """Random pixel batch for one camera (change_sampling_idx analog)."""
-        sel = rng.permutation(self.total_pixels)[:n]
-        uv = self.full_uv()[sel]
+        """Random pixel batch for one camera (change_sampling_idx analog).
+
+        choice(replace=False) matches randperm[:n]'s distribution without
+        building a full H*W permutation + uv grid every batch (640k-element
+        host allocations per step at 800x800 just to pick ~1k pixels)."""
+        sel = rng.choice(self.total_pixels, size=n, replace=False)
+        w = self.img_res[1]
+        # full_uv() row i is (x=i%w, y=i//w) — derive arithmetically
+        uv = np.stack([(sel % w).astype(np.float32),
+                       (sel // w).astype(np.float32)], -1)
         dirs, cam_loc = self.camera_rays(idx, uv)
         return {
             "uv": uv,

@@ -67,33 +67,53 @@ def sphere_trace(sdf: SDFFn, cam_loc: jnp.ndarray, dirs: jnp.ndarray,
                                                     cfg.object_bounding_sphere)
 
     # -- dual-ended sphere tracing (ray_tracing.py:102-206) -----------------
-    def trace_one_direction(t0, t_lim, sign):
-        """sign=+1 marches forward from near; sign=-1 backward from far."""
-        def body(_, state):
-            t, unfinished = state
-            x = cam_loc + t[:, None] * dirs
-            s = _sdf1(sdf, x)
-            # (the reference's back-stepping line search on overshoot is
-            # subsumed by the dense-sampling + secant fallback below)
-            t_new = t + sign * s
-            done = jnp.abs(s) < cfg.sdf_threshold
-            out_of_range = (sign * (t_new - t_lim)) > 0
-            unfinished = unfinished & ~done & ~out_of_range
-            t = jnp.where(unfinished, t_new, t)
-            return t, unfinished
+    # Reference semantics, dense-masked:
+    # - convergence is on SIGNED sdf <= threshold (a ray that lands inside
+    #   after the line search is finished, not "lost"),
+    # - an overshoot (next sdf < 0) triggers the back-stepping line search
+    #   (acc -= (1-step)/2^i * curr_sdf, ray_tracing.py:178-201),
+    # - t is NOT clamped to the sphere interval: a start that marches past
+    #   the end marker keeps its overshot value, so the final
+    #   t_start < t_end test correctly reports a miss (rays grazing the
+    #   bounding-sphere rim would otherwise freeze at `near` and read as
+    #   rim "hits").
+    thr = cfg.sdf_threshold
 
-        unfinished = mask_intersect
-        t, unfinished = jax.lax.fori_loop(0, cfg.sphere_tracing_iters, body,
-                                          (t0, unfinished))
-        return t, unfinished
+    def eval_sdf(t):
+        return _sdf1(sdf, cam_loc + t[:, None] * dirs)
 
-    t_start, unfinished_start = trace_one_direction(near, far, +1.0)
-    t_end, _ = trace_one_direction(far, near, -1.0)
+    def body(_, state):
+        t_s, t_e, unf_s, unf_e, next_s, next_e = state
+        # zero-out converged lanes (ref :139-149: curr_sdf <= thr -> 0,
+        # unfinished &= curr_sdf > thr)
+        curr_s = jnp.where(unf_s, next_s, 0.0)
+        curr_e = jnp.where(unf_e, next_e, 0.0)
+        curr_s = jnp.where(curr_s <= thr, 0.0, curr_s)
+        curr_e = jnp.where(curr_e <= thr, 0.0, curr_e)
+        unf_s = unf_s & (curr_s > thr)
+        unf_e = unf_e & (curr_e > thr)
+        t_s = t_s + curr_s
+        t_e = t_e - curr_e
+        next_s = eval_sdf(t_s)
+        next_e = eval_sdf(t_e)
+        # back-stepping line search on overshoot (ray_tracing.py:178-201)
+        for i in range(cfg.line_step_iters):
+            factor = (1.0 - cfg.line_search_step) / (2.0 ** i)
+            back_s = unf_s & (next_s < 0)
+            back_e = unf_e & (next_e < 0)
+            t_s = jnp.where(back_s, t_s - factor * curr_s, t_s)
+            t_e = jnp.where(back_e, t_e + factor * curr_e, t_e)
+            next_s = jnp.where(back_s, eval_sdf(t_s), next_s)
+            next_e = jnp.where(back_e, eval_sdf(t_e), next_e)
+        crossed = t_s < t_e
+        return t_s, t_e, unf_s & crossed, unf_e & crossed, next_s, next_e
 
-    x_start = cam_loc + t_start[:, None] * dirs
-    s_start = _sdf1(sdf, x_start)
-    converged = mask_intersect & (jnp.abs(s_start) < cfg.sdf_threshold)
-    network_mask = t_start < t_end
+    state0 = (near, far, mask_intersect, mask_intersect,
+              eval_sdf(near), eval_sdf(far))
+    t_start, t_end, unfinished_start, _, _, _ = jax.lax.fori_loop(
+        0, cfg.sphere_tracing_iters, body, state0)
+
+    network_mask = t_start < t_end  # ray_tracing.py:41
 
     # -- dense sampling + secant for unconverged rays (ray_sampler) ---------
     need_sampler = unfinished_start & mask_intersect
@@ -102,16 +122,19 @@ def sphere_trace(sdf: SDFFn, cam_loc: jnp.ndarray, dirs: jnp.ndarray,
     pts = cam_loc[:, None, :] + t_samples[..., None] * dirs[:, None, :]
     s_samples = _sdf1(sdf, pts.reshape(-1, 3)).reshape(n, cfg.n_steps)
 
-    # first sign change (+ -> -)
-    sign_change = (s_samples[:, :-1] > 0) & (s_samples[:, 1:] < 0)
-    any_change = jnp.any(sign_change, axis=-1)
-    first = jnp.argmax(sign_change, axis=-1)
+    # first NEGATIVE sample (ray_sampler's sign*descending argmin trick,
+    # ray_tracing.py:231-234 — not first +/- transition: an interval that
+    # starts inside the surface still counts), secant over (ind-1, ind)
+    neg = s_samples < 0
+    any_change = jnp.any(neg, axis=-1)
+    first = jnp.argmax(neg, axis=-1)
 
     idx = jnp.arange(n)
-    t_lo = t_samples[idx, first]
-    t_hi = t_samples[idx, first + 1]
-    s_lo = s_samples[idx, first]
-    s_hi = s_samples[idx, first + 1]
+    lo = jnp.maximum(first - 1, 0)  # ref wraps -1 to the last sample; clamp
+    t_lo = t_samples[idx, lo]
+    t_hi = t_samples[idx, first]
+    s_lo = s_samples[idx, lo]
+    s_hi = s_samples[idx, first]
 
     def secant_body(_, state):
         t_lo, t_hi, s_lo, s_hi = state
@@ -131,12 +154,13 @@ def sphere_trace(sdf: SDFFn, cam_loc: jnp.ndarray, dirs: jnp.ndarray,
 
     # combine: converged sphere-trace first, secant result for sampler rays
     t_final = jnp.where(need_sampler & any_change, t_secant, t_start)
-    mask_final = jnp.where(need_sampler, any_change, converged | network_mask)
+    mask_final = jnp.where(need_sampler, any_change, network_mask)
     mask_final = mask_final & mask_intersect
 
-    # rays that miss everything: minimal-|sdf| point along the segment
-    # (ray_tracing.py:299-326) — gives a sensible surrogate point
-    min_idx = jnp.argmin(jnp.abs(s_samples), axis=-1)
+    # rays that miss everything: minimal-(signed)-sdf point along the
+    # segment (ray_sampler's p_out path / minimal_sdf_points,
+    # ray_tracing.py:242-249,299-326) — a sensible surrogate point
+    min_idx = jnp.argmin(s_samples, axis=-1)
     t_min = t_samples[idx, min_idx]
     t_final = jnp.where(mask_final, t_final, jnp.where(mask_intersect, t_min,
                                                        -jnp.sum(dirs * cam_loc, -1)))

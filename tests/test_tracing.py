@@ -87,6 +87,30 @@ class TestGridTracer:
         assert np.all(np.asarray(vis_away) > 0.99)
         assert np.all(np.asarray(vis_thru) < 0.01)
 
+    def test_visibility_grazing_directions(self, grid):
+        """Tangential directions from surface points must read VISIBLE.
+
+        Round-1 pathology: the fixed along-ray start bias left grazing
+        rays inside the tracer's hit-epsilon band (34% false self-hits at
+        res 64); grid_visibility_logits now pushes near-surface origins
+        along the local SDF normal by max(start_offset, 2*hit_eps)."""
+        cfg = GridConfig(resolution=64)  # coarse res = worst case
+        g = SDFGrid.build(sphere_sdf, cfg)
+        th = np.linspace(0.1, np.pi - 0.1, 64).astype(np.float32)
+        p = np.stack([np.sin(th), np.zeros(64, np.float32), np.cos(th)],
+                     -1) * RADIUS
+        tang = np.stack([np.cos(th), np.zeros(64, np.float32), -np.sin(th)], -1)
+        vis = jax.nn.softmax(
+            grid_visibility_logits(g.values, cfg, jnp.asarray(p),
+                                   jnp.asarray(tang)), -1)[..., 1]
+        assert float(np.mean(np.asarray(vis) > 0.5)) > 0.9, np.asarray(vis)
+        # ...without breaking the occluded class: inward dirs still hit
+        inward = -p / np.linalg.norm(p, axis=-1, keepdims=True)
+        occ = jax.nn.softmax(
+            grid_visibility_logits(g.values, cfg, jnp.asarray(p),
+                                   jnp.asarray(inward)), -1)[..., 1]
+        assert float(np.asarray(occ).mean()) < 0.05
+
     def test_secondary_ray_from_surface(self, grid):
         """Rays starting just off the surface (the Vis-stage pattern,
         x + 0.005*n) must escape without self-hit when pointing outward."""
@@ -141,6 +165,35 @@ class TestSphereTracer:
         pts = np.asarray(res.points)[hit]
         surf = np.abs(np.asarray(torus_sdf(jnp.asarray(pts))))
         assert np.median(surf) < 1e-3
+
+    def test_origin_inside_object(self):
+        """Origins inside the object: first sdf sample is already negative.
+        The reference converges immediately on signed sdf <= threshold
+        (ray_tracing.py:139-149) and the sampler's first-negative argmax
+        (not first +/- transition) must still find the root."""
+        rng = np.random.default_rng(9)
+        o = rng.standard_normal((32, 3)).astype(np.float32)
+        o = o / np.linalg.norm(o, axis=-1, keepdims=True) * (RADIUS * 0.5)
+        d = rng.standard_normal((32, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        res = sphere_trace(sphere_sdf, jnp.asarray(o), jnp.asarray(d),
+                           SphereTracerConfig(object_bounding_sphere=1.0))
+        assert np.asarray(res.mask).all()
+        # converged where it stood (sdf(origin) < 0 <= threshold)
+        assert np.allclose(np.asarray(res.dists), 0.0, atol=1e-5)
+
+    def test_bounding_rim_rays_miss(self):
+        """Rays grazing the bounding-sphere rim (tiny near/far interval far
+        from the object) must report miss, not freeze at `near` as a rim
+        'hit' — the tracer does not clamp t to the interval, so the
+        start marker overshoots the end marker and t_start < t_end fails."""
+        o = jnp.asarray(np.tile([[0.0, 0.0, 2.0]], (8, 1)).astype(np.float32))
+        # aim just inside the unit bounding sphere but far outside the object
+        ang = np.arcsin(0.98 / 2.0)
+        d = np.tile([[np.sin(ang), 0.0, -np.cos(ang)]], (8, 1)).astype(np.float32)
+        res = sphere_trace(sphere_sdf, o, jnp.asarray(d),
+                           SphereTracerConfig(object_bounding_sphere=1.0))
+        assert not np.asarray(res.mask).any()
 
     def test_jit_compatible(self):
         o, d = _rand_rays(32, seed=8)

@@ -73,14 +73,29 @@ def sample_pdf(key: Optional[jax.Array], bins: jnp.ndarray, weights: jnp.ndarray
     # searchsorted(side="right") as a broadcast comparison count: binary
     # search compiles to serial gather chains on TPU; the dense [B,n,T]
     # compare+reduce is one fused VPU pass (measured: the searchsorted/sort
-    # formulation made importance sampling 42% of the whole train step)
-    inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), -1)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(T - 1, inds)
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    # formulation made importance sampling 42% of the whole train step).
+    # The four bracket lookups are masked max/min reductions over the same
+    # [B,n,T] mask instead of take_along_axis: both cdf and bins are
+    # row-wise ascending, so the largest masked entry IS the entry at
+    # index (count-1) and the smallest anti-masked entry IS the entry at
+    # index count — exactly the reference's below/above gathers, without
+    # TPU scalar-gather fusions (measured 1.33 ms -> ~0 of the 2.55 ms
+    # sampling phase; same z_vals bit-for-bit on the det path).
+    mask_le = cdf[:, None, :] <= u[:, :, None]                    # [B, n, T]
+    cdf_b = jnp.broadcast_to(cdf[:, None, :], mask_le.shape)
+    bins_b = jnp.broadcast_to(bins[:, None, :], mask_le.shape)
+    ninf, pinf = -jnp.inf, jnp.inf
+    cdf_below = jnp.max(jnp.where(mask_le, cdf_b, ninf), -1)
+    bins_below = jnp.max(jnp.where(mask_le, bins_b, ninf), -1)
+    cdf_above = jnp.min(jnp.where(mask_le, pinf, cdf_b), -1)
+    bins_above = jnp.min(jnp.where(mask_le, pinf, bins_b), -1)
+    # clamp semantics of the reference's below/above index clips: an empty
+    # mask (u < cdf[0], impossible for u>=0) falls back to column 0, a full
+    # mask (u >= cdf[-1]) to column T-1
+    cdf_below = jnp.where(jnp.isfinite(cdf_below), cdf_below, cdf[:, :1])
+    bins_below = jnp.where(jnp.isfinite(bins_below), bins_below, bins[:, :1])
+    cdf_above = jnp.where(jnp.isfinite(cdf_above), cdf_above, cdf[:, -1:])
+    bins_above = jnp.where(jnp.isfinite(bins_above), bins_above, bins[:, -1:])
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     t = (u - cdf_below) / denom

@@ -13,8 +13,12 @@ import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native")
+# ROBIR_NATIVE_DIR points non-editable installs at a checkout of native/;
+# the default resolves the repo-root layout used by `pip install -e .`.
+_NATIVE_DIR = os.environ.get(
+    "ROBIR_NATIVE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native"))
 _LIB_PATH = os.path.join(_NATIVE_DIR, "librobir_native.so")
 _lock = threading.Lock()
 _lib = None

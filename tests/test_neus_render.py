@@ -212,3 +212,47 @@ def test_sample_pdf_inds_match_searchsorted():
         t = (u[i] - cdf[i][below]) / denom
         ref[i] = bins[i][below] + t * (bins[i][above] - bins[i][below])
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_sample_pdf_masked_reduction_edges():
+    """The masked max/min bracket lookups (no take_along_axis) equal the
+    index-gather formulation on degenerate inputs: zero-weight bins
+    (repeated cdf values), all-zero rows (uniform fallback pdf), and the
+    stochastic path where u can fall in the first/last bucket."""
+    import jax
+    import jax.numpy as jnp
+    from robir_tpu.render.neus import sample_pdf
+
+    def gather_formulation(key, bins, weights, n, det):
+        weights = weights + 1e-5
+        pdf = weights / jnp.sum(weights, -1, keepdims=True)
+        cdf = jnp.cumsum(pdf, -1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], -1)
+        B, T = cdf.shape
+        if det:
+            u = jnp.linspace(0.5 / n, 1.0 - 0.5 / n, n)
+            u = jnp.broadcast_to(u, (B, n))
+        else:
+            u = jax.random.uniform(key, (B, n))
+        inds = jnp.sum((cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), -1)
+        below = jnp.maximum(0, inds - 1)
+        above = jnp.minimum(T - 1, inds)
+        cdf_b = jnp.take_along_axis(cdf, below, -1)
+        cdf_a = jnp.take_along_axis(cdf, above, -1)
+        bins_b = jnp.take_along_axis(bins, below, -1)
+        bins_a = jnp.take_along_axis(bins, above, -1)
+        denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+        return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+
+    rng = np.random.default_rng(11)
+    bins = np.sort(rng.uniform(0, 5, (12, 33)).astype(np.float32), -1)
+    w = rng.uniform(0, 1, (12, 32)).astype(np.float32)
+    w[rng.uniform(size=w.shape) < 0.4] = 0.0   # repeated cdf values
+    w[0] = 0.0                                  # all-zero row
+    for det in (True, False):
+        key = jax.random.PRNGKey(7)
+        want = np.asarray(gather_formulation(key, jnp.asarray(bins),
+                                             jnp.asarray(w), 16, det))
+        got = np.asarray(sample_pdf(key, jnp.asarray(bins),
+                                    jnp.asarray(w), 16, det=det))
+        np.testing.assert_array_equal(got, want)

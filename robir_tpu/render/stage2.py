@@ -163,8 +163,11 @@ class Stage2Model:
         pts = points[:, None, :] * self.cfg.coord_scale + vd[:, None, :] * t  # stage-1 coords
         vds = jnp.broadcast_to(vd[:, None, :], pts.shape)
         flat = pts.reshape(-1, 3)
-        sdf, feat = self.neus.sdf_and_feat(flat)
-        grads = self.neus.grad(flat)
+        # one shared forward for (sdf, feature, gradient) — the separate
+        # sdf_and_feat + grad pair paid a second full trunk pass over the
+        # [N*S*16]-point fan (the Vis step's largest FLOP block)
+        full, grads = self.neus.full_with_grad(flat)
+        sdf, feat = full[..., :1], full[..., 1:]
         # NO bgr flip here: the reference's borrow_color calls
         # neus_model.forward directly (neus_model.py:856-868), bypassing
         # the bgr-flipping ImplicitNetworkMy.color() wrapper (:794-801) —

@@ -50,6 +50,11 @@ def test_build_reference_configs():
     assert mcfg.sdf.storage_dtype == "bfloat16"
     assert mcfg.color.storage_dtype == "bfloat16"
     assert cfg.visnet.storage_dtype == "bfloat16"  # hotdog sweep trunk
+    # frozen-bridge + cached-grid bf16 storage (stage-2 secondary-ray path)
+    assert cfg.neus.sdf.storage_dtype == "bfloat16"
+    assert cfg.neus.color.storage_dtype == "bfloat16"
+    assert cfg.grid.storage_dtype == "bfloat16"
+    assert tcfg.grid.storage_dtype == "bfloat16"
 
     from robir_tpu.stages.pbr import PBRStageConfig
     from robir_tpu.stages.vis import VisStageConfig

@@ -67,6 +67,27 @@ class TestGridTracer:
         err = np.abs(np.asarray(t)[both] - t_true[both])
         assert np.median(err) < 1e-3 and err.max() < 5e-2
 
+    def test_bf16_grid_matches_fp32(self, grid):
+        """storage_dtype="bfloat16" (the shipped stage-2 configs' setting —
+        halves the march's row-gather HBM traffic) must keep cast precision:
+        sdf quantization is relative, so near-surface |sdf| values that
+        drive hits/bisection stay accurate."""
+        cfg16 = GridConfig(resolution=128, start_offset=0.0,
+                           storage_dtype="bfloat16")
+        g16 = SDFGrid.build(sphere_sdf, cfg16)
+        assert g16.values.dtype == jnp.bfloat16
+        o, d = _rand_rays(256, seed=3)
+        t32, hit32, _ = grid.cast(o, d)
+        t16, hit16, _ = g16.cast(o, d)
+        assert (np.asarray(hit16) == np.asarray(hit32)).mean() > 0.99
+        both = np.asarray(hit16) & np.asarray(hit32)
+        err = np.abs(np.asarray(t16)[both] - np.asarray(t32)[both])
+        assert np.median(err) < 1e-3 and err.max() < 5e-2
+        # interpolated sdf stays within trilinear-error scale of fp32
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(-0.9, 0.9, (500, 3)).astype(np.float32))
+        assert np.abs(np.asarray(g16.sdf(x)) - np.asarray(grid.sdf(x))).max() < 4e-3
+
     def test_miss_rays(self, grid):
         # rays pointing away from the sphere never hit
         o = jnp.asarray(np.tile([[2.0, 0, 0]], (16, 1)).astype(np.float32))

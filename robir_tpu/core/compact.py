@@ -1,0 +1,113 @@
+"""Exact masked compaction for ragged work under static shapes.
+
+The reference compacts ragged work with boolean indexing — e.g.
+``trace_radiance`` only evaluates the borrowed NeuS color at secondary-ray
+HIT points (model/implicit_differentiable_renderer.py:566-650), and the
+octree casts only the rays still alive (utils/octree.py:493-585, the host
+``while k.any()`` loop). Dynamic shapes don't exist under XLA, so the
+TPU-native port of that idea is:
+
+  1. sort rows so the needed ones pack into the leading chunks
+     (``lax.sort`` with the row payloads as extra operands — no gathers,
+     which are the expensive op class on TPU),
+  2. scan over fixed-size chunks, running the expensive ``fn`` only on
+     chunks that contain at least one needed row (``lax.cond`` — a real
+     branch inside the scan's While body, so skipped chunks cost nothing),
+  3. sort back by the carried original index.
+
+This is EXACT: every needed row is evaluated with its true inputs (a
+boundary chunk may also evaluate some un-needed rows, whose outputs are
+zeroed). Compute scales with ``ceil(n_needed / chunk)`` instead of ``n``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _to_columns(arrs: Sequence[jnp.ndarray]):
+    """Flatten [N, ...] arrays into [N] columns (lax.sort wants same-shape
+    operands). Returns (columns, specs) where specs rebuild the arrays."""
+    cols, specs = [], []
+    for a in arrs:
+        trailing = a.shape[1:]
+        flat = a.reshape(a.shape[0], -1) if trailing else a.reshape(-1, 1)
+        specs.append((trailing, a.dtype, flat.shape[1]))
+        for j in range(flat.shape[1]):
+            cols.append(flat[:, j])
+    return cols, specs
+
+
+def _from_columns(cols: Sequence[jnp.ndarray], specs):
+    arrs, k = [], 0
+    for trailing, dtype, width in specs:
+        stacked = jnp.stack(cols[k:k + width], axis=1)
+        k += width
+        arrs.append(stacked.reshape((-1,) + trailing).astype(dtype))
+    return arrs
+
+
+def _sort_by(key: jnp.ndarray, arrs: Sequence[jnp.ndarray]):
+    """Sort rows of every array by ``key`` (ascending). Gather-free: every
+    row payload rides the sort as an extra operand."""
+    cols, specs = _to_columns(arrs)
+    # sortable dtypes only — bools ride as int8
+    cast = [c.astype(jnp.int8) if c.dtype == jnp.bool_ else c for c in cols]
+    out = jax.lax.sort((key, *cast), num_keys=1, is_stable=True)
+    return out[0], _from_columns(out[1:], specs)
+
+
+def compact_apply(fn: Callable, need: jnp.ndarray,
+                  inputs: Sequence[jnp.ndarray], chunk: int):
+    """Apply ``fn`` to the rows of ``inputs`` where ``need`` is True.
+
+    fn takes per-chunk rows (``[chunk, ...]`` of each input) and returns a
+    pytree of ``[chunk, ...]`` arrays. Returns the same pytree at full
+    length ``n``, with rows where ``~need`` zeroed. Work done scales with
+    ``ceil(n_need / chunk)`` chunks instead of ``n / chunk``.
+    """
+    n = need.shape[0]
+    pad = (-n) % chunk
+    if pad:
+        need = jnp.concatenate([need, jnp.zeros((pad,), need.dtype)])
+        inputs = [jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in inputs]
+    total = n + pad
+    nchunks = total // chunk
+
+    key = (~need).astype(jnp.int32)
+    idx = jnp.arange(total, dtype=jnp.int32)
+    _, sorted_arrs = _sort_by(key, [idx, need, *inputs])
+    sidx, sneed, sinputs = sorted_arrs[0], sorted_arrs[1], sorted_arrs[2:]
+
+    n_need = jnp.sum(need.astype(jnp.int32))
+    starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+
+    out_shapes = jax.eval_shape(fn, *[
+        jax.ShapeDtypeStruct((chunk,) + a.shape[1:], a.dtype)
+        for a in sinputs])
+
+    def zeros(*_):
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), out_shapes)
+
+    def body(_, args):
+        start, xc = args
+        out = jax.lax.cond(start < n_need, fn, zeros, *xc)
+        return None, out
+
+    xs = tuple(a.reshape((nchunks, chunk) + a.shape[1:]) for a in sinputs)
+    _, outs = jax.lax.scan(body, None, (starts, xs))
+    outs = jax.tree_util.tree_map(
+        lambda o: o.reshape((total,) + o.shape[2:]), outs)
+
+    # restore original row order (second gather-free sort), zero ~need rows
+    leaves, treedef = jax.tree_util.tree_flatten(outs)
+    _, restored = _sort_by(sidx, leaves)
+    restored = [jnp.where(need.reshape((-1,) + (1,) * (r.ndim - 1)), r,
+                          jnp.zeros((), r.dtype))[:n]
+                for r in restored]
+    return jax.tree_util.tree_unflatten(treedef, restored)

@@ -111,3 +111,69 @@ def ipe_isotropic(x: jnp.ndarray, cfg: IPEConfig, var: float = 0.005) -> jnp.nda
     """Isotropic-covariance IPE: the stage-2 AE-head input encoding
     (``neus/model/neus_fields.py`` ``ipe_embedder``)."""
     return integrated_pos_enc(x, jnp.full_like(x, var), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Learnable dense feature-grid embedder
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GridEmbedConfig:
+    """Learnable trilinear feature grid (``neus/model/embedders.py`` Grid,
+    :107-124): a [C, N, N, N] parameter sampled with
+    ``F.grid_sample(..., align_corners=False)`` at coords in [-1, 1]."""
+    n_cells: int = 128
+    out_dim: int = 3
+
+    @property
+    def feature_dim(self) -> int:
+        return self.out_dim
+
+
+def init_grid_embed(key, cfg: GridEmbedConfig) -> dict:
+    import jax
+    return {"grid": jax.random.normal(
+        key, (cfg.out_dim, cfg.n_cells, cfg.n_cells, cfg.n_cells))}
+
+
+def grid_embed(params: dict, cfg: GridEmbedConfig,
+               x: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] coords in [-1, 1] -> [..., out_dim] trilinear features.
+
+    Matches torch ``F.grid_sample`` semantics exactly: align_corners=False
+    (half-texel inset: coord c maps to index ((c+1)*N - 1)/2), zero padding
+    outside, and grid_sample's (x, y, z) coordinate order indexing grid
+    dims (W, H, D) — i.e. x walks the LAST grid axis."""
+    g = params["grid"]  # [C, N, N, N] = [C, D, H, W]
+    C, N = g.shape[0], g.shape[1]
+    shape = x.shape[:-1]
+    pts = x.reshape(-1, 3)
+    # unnormalize (align_corners=False): ix = ((x + 1) * W - 1) / 2
+    idx = ((pts + 1.0) * N - 1.0) * 0.5           # [M, 3] in (x, y, z)
+    i0 = jnp.floor(idx).astype(jnp.int32)
+    f = idx - i0
+
+    def corner(ox, oy, oz):
+        ix, iy, iz = i0[:, 0] + ox, i0[:, 1] + oy, i0[:, 2] + oz
+        inb = ((ix >= 0) & (ix < N) & (iy >= 0) & (iy < N)
+               & (iz >= 0) & (iz < N))
+        ixc = jnp.clip(ix, 0, N - 1)
+        iyc = jnp.clip(iy, 0, N - 1)
+        izc = jnp.clip(iz, 0, N - 1)
+        # x indexes W (last axis), y -> H, z -> D
+        flat = g.reshape(C, -1)                    # [C, D*H*W]
+        lin = (izc * N + iyc) * N + ixc
+        v = jnp.take(flat, lin, axis=1)            # [C, M]
+        return jnp.where(inb[None, :], v, 0.0)
+
+    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    out = jnp.zeros((C, pts.shape[0]))
+    for ox in (0, 1):
+        wx = fx if ox else 1.0 - fx
+        for oy in (0, 1):
+            wy = fy if oy else 1.0 - fy
+            for oz in (0, 1):
+                wz = fz if oz else 1.0 - fz
+                out = out + corner(ox, oy, oz) * (wx * wy * wz)[None, :]
+    return out.T.reshape(shape + (C,))

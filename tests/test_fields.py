@@ -273,3 +273,35 @@ class TestStorageDtype:
             p, dataclasses.replace(cfg, storage_dtype="bfloat16"), pts, dirs)
         np.testing.assert_allclose(np.asarray(got16), np.asarray(want),
                                    atol=0.1)
+
+
+def test_grid_embed_matches_torch_grid_sample():
+    """Grid embedder (neus/model/embedders.py:107-124) vs
+    F.grid_sample(align_corners=False) directly — inside, outside, and
+    boundary-straddling coords."""
+    import torch
+    import torch.nn.functional as F
+    from robir_tpu.fields.encoding import (GridEmbedConfig, grid_embed,
+                                           init_grid_embed)
+
+    cfg = GridEmbedConfig(n_cells=9, out_dim=5)
+    params = init_grid_embed(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    pts = np.concatenate([
+        rng.uniform(-0.95, 0.95, (64, 3)),
+        rng.uniform(-1.3, 1.3, (64, 3)),           # partially outside
+        np.array([[1.0, -1.0, 0.0], [0.0, 0.0, 0.0]]),
+    ]).astype(np.float32)
+
+    ours = np.asarray(grid_embed(params, cfg, jnp.asarray(pts)))
+
+    g = torch.from_numpy(np.asarray(params["grid"], np.float32))[None]
+    tin = torch.from_numpy(pts).view(1, -1, 1, 1, 3)
+    ref = F.grid_sample(g, tin, align_corners=False)
+    ref = ref.view(cfg.out_dim, -1).permute(1, 0).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+    # gradient flows to the grid parameter (it's learnable in the reference)
+    grad = jax.grad(lambda p: jnp.sum(
+        grid_embed(p, cfg, jnp.asarray(pts[:64])) ** 2))(params)
+    assert float(jnp.abs(grad["grid"]).sum()) > 0

@@ -26,6 +26,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _to_columns(arrs: Sequence[jnp.ndarray]):
@@ -50,9 +51,20 @@ def _from_columns(cols: Sequence[jnp.ndarray], specs):
     return arrs
 
 
-def _sort_by(key: jnp.ndarray, arrs: Sequence[jnp.ndarray]):
-    """Sort rows of every array by ``key`` (ascending). Gather-free: every
-    row payload rides the sort as an extra operand."""
+def _sort_by(key: jnp.ndarray, arrs: Sequence[jnp.ndarray],
+             wide_threshold: int = 24):
+    """Sort rows of every array by ``key`` (ascending).
+
+    Narrow payloads ride the sort as extra ``lax.sort`` operands (gather-
+    free — the TPU-friendly path for few-column payloads like ray
+    origins). Wide payloads (e.g. [N, 24, 7] SG sets) would explode into
+    hundreds of sort operands, so beyond ``wide_threshold`` total columns
+    the permutation is applied with row gathers instead — wide rows
+    amortize the gather overhead."""
+    width = sum(int(np.prod(a.shape[1:])) if a.ndim > 1 else 1 for a in arrs)
+    if width > wide_threshold:
+        order = jnp.argsort(key, stable=True)
+        return key[order], [jnp.take(a, order, axis=0) for a in arrs]
     cols, specs = _to_columns(arrs)
     # sortable dtypes only — bools ride as int8
     cast = [c.astype(jnp.int8) if c.dtype == jnp.bool_ else c for c in cols]

@@ -428,7 +428,8 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
                    diffuse_nsamp: int = 32, diffuse_vis_nsamp: int = 8,
                    specular_nsamp: int = 8,
                    diffuse_sweep_chunk: int = 0,
-                   supervise_weight: Optional[jnp.ndarray] = None) -> SGRenderOutput:
+                   supervise_weight: Optional[jnp.ndarray] = None,
+                   supervise_rows: bool = False) -> SGRenderOutput:
     """Full SG shading for one light set. Parity: sg_render.py:343-565.
 
     points/normal/viewdirs: [N, 3]; lgt_sgs: [N, M, 7] or [M, 7];
@@ -470,18 +471,23 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
             # never sees miss rays; dense lanes collapse to the camera
             # origin and must not bias rho_hat)
             if prefit == "warmup":
-                supervise = kl_divergence(
-                    jnp.abs(jax.lax.stop_gradient(light_vis_gt) - light_vis)[..., 0], 0.01,
-                    weight=supervise_weight) * 0.1
+                sup_x = jnp.abs(jax.lax.stop_gradient(light_vis_gt)
+                                - light_vis)[..., 0]
+                if not supervise_rows:
+                    supervise = kl_divergence(
+                        sup_x, 0.01, weight=supervise_weight) * 0.1
                 light_vis = light_vis_gt
-            elif prefit == "project":
-                supervise = kl_divergence(
-                    jnp.abs(light_vis_gt - light_vis)[..., 0], 0.01,
-                    weight=supervise_weight) * 0.2
             else:
-                supervise = kl_divergence(
-                    jnp.abs(light_vis_gt - light_vis)[..., 0], 0.01,
-                    weight=supervise_weight) * 1.0
+                sup_x = jnp.abs(light_vis_gt - light_vis)[..., 0]
+                if not supervise_rows:
+                    factor = 0.2 if prefit == "project" else 1.0
+                    supervise = kl_divergence(
+                        sup_x, 0.01, weight=supervise_weight) * factor
+            if supervise_rows:
+                # per-row |gt - vis| [N, M]: lets callers compute the KL
+                # batch-mean OUTSIDE a surface-pixel compaction (the
+                # weighted mean is row-separable; the KL of it is not)
+                supervise = sup_x
         else:
             light_vis = light_vis_gt
 
@@ -556,7 +562,8 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
                        lin_diff=False, metallic=None, diffuse_vis=None,
                        prefit=None, argmax_vis=False,
                        fun_spec=False, diffuse_sweep_chunk=0,
-                       supervise_weight=None) -> AllSGOutput:
+                       supervise_weight=None,
+                       supervise_rows=False) -> AllSGOutput:
     """Direct (visibility-attenuated) + indirect SG shading.
     Parity: sg_render.py:304-337. With ``fun_spec`` both specular fields
     are roughness-parameterized callables."""
@@ -568,7 +575,7 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
         lin_diff=lin_diff, metallic=metallic, diffuse_vis=diffuse_vis,
         prefit=prefit, argmax_vis=argmax_vis, fun_spec=fun_spec,
         diffuse_sweep_chunk=diffuse_sweep_chunk,
-        supervise_weight=supervise_weight)
+        supervise_weight=supervise_weight, supervise_rows=supervise_rows)
 
     if indir_lgt_sgs is not None:
         indirect = render_with_sg(

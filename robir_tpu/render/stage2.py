@@ -269,8 +269,10 @@ def default_sg_render(model: Stage2Model, key: jax.Array, points, view_dirs,
         "indir_rgb": sg_ret.indir_rgb,
         "indir_diffuse_rgb": sg_ret.indir_diffuse_rgb,
         "indir_specular_rgb": sg_ret.indir_specular_rgb,
+        # no "supervise": this render never passes diffuse_vis, so
+        # sg_ret.supervise is the constant 0; keeping every output per-row
+        # makes the default render compactable over surface pixels
         "vis_shadow": sg_ret.vis_shadow,
-        "supervise": sg_ret.supervise,
         "diffuse_albedo": diffuse_albedo,
         "roughness": mat.roughness,
         "metallic": mat.metallic,
@@ -286,12 +288,22 @@ def stage2_forward(model: Stage2Model, key: jax.Array, inp: dict,
                    trainstage: str = "Material",
                    sg_render_fn: Optional[SGRenderFn] = None,
                    train_spec: bool = False, lin_diff: bool = False,
+                   compact_chunk: int = 0,
                    **sg_kwargs) -> dict:
     """IDRNetwork.forward (:290-479), dense-masked.
 
     ``inp`` (all [N, ...]):
       either 'cam_loc' + 'dirs' (texture-space path) or precomputed rays;
       optional 'object_mask' [N] bool, 'hdr_shift' [N, 1].
+
+    ``compact_chunk`` > 0 runs the SG shade only on chunks holding surface
+    pixels (the reference shades ``points[surface_mask]`` only,
+    implicit_differentiable_renderer.py:396-400; the dense form shades
+    every lane). Requires a render fn whose outputs are all per-row — the
+    CESR render returns batch-statistic scalars and must stay dense.
+    Per-row MC draws (material xi, per-point specular-vis dirs) are keyed
+    per chunk, so they differ from the dense draws (same distribution);
+    per-LIGHT draws shared across points are bit-identical.
     """
     cam_loc = inp["points"].reshape(-1, 3)
     ray_dirs = inp["dirs"].reshape(-1, 3)
@@ -349,10 +361,33 @@ def stage2_forward(model: Stage2Model, key: jax.Array, inp: dict,
     # (implicit_differentiable_renderer.py:396-400).
     render = sg_render_fn or default_sg_render
     k_sg, key = jax.random.split(key)
-    ret = render(model, k_sg, points, -ray_dirs, indirect_sgs,
-                 indir_integral=indirect_integral, train_spec=train_spec,
-                 lin_diff=lin_diff, hdr_shift=hdr_shift,
-                 surface_mask=surface_mask, **sg_kwargs)
+    if compact_chunk and n > compact_chunk:
+        hs = (hdr_shift if hdr_shift is not None
+              else jnp.zeros((n, 1), jnp.float32))
+
+        def row_render(pts, vdirs, isgs, iint, h, smask):
+            r = render(model, k_sg, pts, vdirs, isgs, indir_integral=iint,
+                       train_spec=train_spec, lin_diff=lin_diff,
+                       hdr_shift=h, surface_mask=smask, **sg_kwargs)
+            bad = [name for name, v in r.items()
+                   if jnp.ndim(v) == 0 or v.shape[0] != pts.shape[0]]
+            if bad:
+                raise ValueError(
+                    f"stage2_forward(compact_chunk=...) needs per-row render "
+                    f"outputs; {bad} are batch statistics — run this render "
+                    f"fn dense (compact_chunk=0)")
+            return r
+
+        from ..core.compact import compact_apply
+        ret = compact_apply(
+            row_render, surface_mask,
+            [points, -ray_dirs, indirect_sgs, indirect_integral, hs,
+             surface_mask], compact_chunk)
+    else:
+        ret = render(model, k_sg, points, -ray_dirs, indirect_sgs,
+                     indir_integral=indirect_integral, train_spec=train_spec,
+                     lin_diff=lin_diff, hdr_shift=hdr_shift,
+                     surface_mask=surface_mask, **sg_kwargs)
 
     def masked(x, default=1.0):
         if x.ndim == 1:
@@ -382,6 +417,18 @@ def stage2_forward(model: Stage2Model, key: jax.Array, inp: dict,
     })
     if "random_xi_normal" in ret:
         out["random_xi_normal"] = masked(ret["random_xi_normal"])
+    # pass through any extra per-row outputs (e.g. the CESR row-mode
+    # supervision ingredients supervise_x / normal_sq) unmasked — their
+    # consumers weight them by the surface mask themselves
+    consumed = {
+        "gradient_error", "sg_rgb", "indir_rgb", "sg_diffuse_rgb",
+        "sg_specular_rgb", "indir_diffuse_rgb", "indir_specular_rgb",
+        "normals", "diffuse_albedo", "roughness", "metallic", "normal_map",
+        "vis_shadow", "supervise", "random_xi_roughness",
+        "random_xi_metallic", "random_xi_diffuse_albedo", "random_xi_normal"}
+    for name in ret:
+        if name not in consumed:
+            out[name] = ret[name]
     return out
 
 

@@ -57,6 +57,11 @@ class CESRStageConfig:
     white_light: bool = False
     argmax_vis: bool = False
     num_lights: int = 128  # set to envmap num_lgt_sgs (one-hot label size)
+    # shade only chunks holding surface pixels (reference shades
+    # points[surface_mask] only); 0 = dense. Uses the row-output render
+    # with the KL/white/normal-consistency reductions in the step — the
+    # weighted means equal the dense ones exactly.
+    compact_chunk: int = 128
 
     @property
     def shadow_cfg(self) -> SDFConfig:
@@ -137,13 +142,20 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
                    indir_integral=None, *, shadow_params, normal_params,
                    stage_cfg: CESRStageConfig, prefit: str, use_new_normal: bool,
                    spec_var=None, train_spec=True, surface_mask=None,
-                   **_) -> dict:
+                   row_outputs: bool = False, **_) -> dict:
     """CESR get_sg_render (train_cesr.py:465-544).
 
     ``surface_mask`` ([N] bool, from the dense stage2_forward) weights the
     batch-statistic supervision terms (shadow-net KL, normal-consistency):
     the reference shades surface points only, so its versions never see
-    miss rays (whose dense lanes collapse to the camera origin)."""
+    miss rays (whose dense lanes collapse to the camera origin).
+
+    ``row_outputs=True`` returns only per-row arrays — the supervision
+    SCALARS are replaced by their per-row ingredients (``supervise_x``
+    [N, M] |gt - vis| and ``normal_sq`` [N, 3]) for the step to reduce
+    outside a surface-pixel compaction; white_loss (params-only) moves to
+    the step too. The weighted batch means are row-separable, so the
+    reduced losses equal the dense ones exactly."""
     view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
     normals = model.sdf_gradient(points)
     normals = normals / jnp.clip(jnp.linalg.norm(normals, axis=-1, keepdims=True),
@@ -171,12 +183,30 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
         lin_diff=True, diffuse_vis=diffuse_vis, prefit=prefit,
         argmax_vis=stage_cfg.argmax_vis,
         diffuse_sweep_chunk=model.cfg.sweep_light_chunk,
-        supervise_weight=sv_weight)
+        supervise_weight=sv_weight, supervise_rows=row_outputs)
 
     # recompose rgb: diffuse light x albedo / pi + specular (:523-524)
     sg_rgb = sg_ret.sg_diffuse_rgb * mat.diffuse_albedo / np.pi + sg_ret.sg_specular_rgb
     indir_rgb = (sg_ret.indir_diffuse_rgb * mat.diffuse_albedo / np.pi
                  + sg_ret.indir_specular_rgb)
+
+    out = {
+        "normals": normals, "sg_rgb": sg_rgb, "indir_rgb": indir_rgb,
+        "sg_diffuse_rgb": sg_ret.sg_diffuse_rgb,
+        "sg_specular_rgb": sg_ret.sg_specular_rgb,
+        "indir_diffuse_rgb": sg_ret.indir_diffuse_rgb,
+        "indir_specular_rgb": sg_ret.indir_specular_rgb,
+        "vis_shadow": sg_ret.vis_shadow,
+        "diffuse_albedo": mat.diffuse_albedo, "roughness": mat.roughness,
+        "metallic": mat.metallic, "normal_map": normal_new,
+        "random_xi_roughness": mat.random_xi_roughness,
+        "random_xi_metallic": mat.random_xi_metallic,
+        "random_xi_diffuse_albedo": mat.random_xi_diffuse_albedo,
+    }
+    if row_outputs:
+        out["supervise_x"] = sg_ret.supervise        # [N, M] |gt - vis|
+        out["normal_sq"] = (normal_map - normal_new) ** 2
+        return out
 
     supervise = sg_ret.supervise
     if stage_cfg.white_light and prefit != "warmup":
@@ -190,21 +220,9 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
         supervise = supervise + jnp.sum(
             w * (normal_map - normal_new) ** 2) / jnp.clip(
             jnp.sum(w) * 3, 1.0, None)
-
-    return {
-        "normals": normals, "sg_rgb": sg_rgb, "indir_rgb": indir_rgb,
-        "sg_diffuse_rgb": sg_ret.sg_diffuse_rgb,
-        "sg_specular_rgb": sg_ret.sg_specular_rgb,
-        "indir_diffuse_rgb": sg_ret.indir_diffuse_rgb,
-        "indir_specular_rgb": sg_ret.indir_specular_rgb,
-        "vis_shadow": sg_ret.vis_shadow, "gradient_error": supervise,
-        "supervise": supervise,
-        "diffuse_albedo": mat.diffuse_albedo, "roughness": mat.roughness,
-        "metallic": mat.metallic, "normal_map": normal_new,
-        "random_xi_roughness": mat.random_xi_roughness,
-        "random_xi_metallic": mat.random_xi_metallic,
-        "random_xi_diffuse_albedo": mat.random_xi_diffuse_albedo,
-    }
+    out["gradient_error"] = supervise
+    out["supervise"] = supervise
+    return out
 
 
 def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
@@ -225,17 +243,36 @@ def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
             inp = {"points": batch["points"], "dirs": batch["dirs"],
                    "object_mask": batch["object_mask"], "hdr_shift": hdr_shift}
 
+            compact = int(getattr(stage_cfg, "compact_chunk", 0))
+            row_mode = 0 < compact < n
             render = functools.partial(
                 cesr_sg_render, shadow_params=params["shadow_net"],
                 normal_params=params["normal_net"], stage_cfg=stage_cfg,
                 prefit=prefit, use_new_normal=use_new_normal,
-                spec_var=spec_var)
+                spec_var=spec_var, row_outputs=row_mode)
             out = stage2_forward(model, key, inp, trainstage="Material",
-                                 sg_render_fn=render, train_spec=True)
+                                 sg_render_fn=render, train_spec=True,
+                                 compact_chunk=compact if row_mode else 0)
 
             metrics = {}
-            total = out["supervise"]  # sv_loss (train_cesr.py:433)
-            metrics["sv_loss"] = out["supervise"]
+            if row_mode:
+                # sv_loss from the compacted per-row ingredients — the
+                # weighted means are over surface rows only, exactly the
+                # dense computation (miss rows carry weight 0)
+                w = out["surface_mask"].astype(jnp.float32)
+                factor = {"warmup": 0.1, "project": 0.2}.get(prefit, 1.0)
+                sv = sg_lib.kl_divergence(out["supervise_x"], 0.01,
+                                          weight=w) * factor
+                if stage_cfg.white_light and prefit != "warmup":
+                    sv = sv + white_loss(
+                        params["envmap_material_network"]["lgtSGs"])
+                w1 = w[:, None]
+                sv = sv + jnp.sum(w1 * out["normal_sq"]) / jnp.clip(
+                    jnp.sum(w1) * 3, 1.0, None)
+                total = sv
+            else:
+                total = out["supervise"]  # sv_loss (train_cesr.py:433)
+            metrics["sv_loss"] = total
 
             if use_rgb_loss:
                 pred = out["sg_rgb"] + out["indir_rgb"]

@@ -36,6 +36,10 @@ class PBRStageConfig:
     opt: StageOptConfig = StageOptConfig(lr=5e-4)
     loss: InvLossConfig = InvLossConfig()
     use_normal_map: bool = True  # False when no Norm ckpt (no_normal flag)
+    # shade only chunks holding surface pixels (reference shades
+    # points[surface_mask] only); 0 = dense. The PBR render's outputs are
+    # all per-row, so compaction is exact up to per-row MC draws.
+    compact_chunk: int = 128
 
 
 def white_loss(lgt_sgs: jnp.ndarray) -> jnp.ndarray:
@@ -77,7 +81,11 @@ def pbr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
         "sg_diffuse_rgb": sg_ret.sg_diffuse_rgb, "indir_rgb": sg_ret.indir_rgb,
         "indir_diffuse_rgb": sg_ret.indir_diffuse_rgb,
         "indir_specular_rgb": sg_ret.indir_specular_rgb,
-        "vis_shadow": sg_ret.vis_shadow, "supervise": sg_ret.supervise,
+        # no "supervise": the PBR render never passes diffuse_vis, so
+        # sg_ret.supervise is the constant 0 — omitting it keeps every
+        # output per-row, which is what lets stage2_forward compact the
+        # shade over surface pixels
+        "vis_shadow": sg_ret.vis_shadow,
         "diffuse_albedo": mat.diffuse_albedo, "roughness": mat.roughness,
         "metallic": mat.metallic, "normal_map": mat.normal_map,
         "random_xi_roughness": mat.random_xi_roughness,
@@ -107,7 +115,7 @@ def make_pbr_step(cfg: Stage2Config, stage_cfg: PBRStageConfig,
                 sg_render_fn=lambda m, k, p, v, isgs, **kw: pbr_sg_render(
                     m, k, p, v, isgs, use_normal_map=stage_cfg.use_normal_map,
                     **kw),
-                train_spec=True)
+                train_spec=True, compact_chunk=stage_cfg.compact_chunk)
 
             pred = out["sg_rgb"] + out["indir_rgb"]
             pred = hdr2ldr(params["gamma"], cfg.tonemap, pred)

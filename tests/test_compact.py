@@ -104,3 +104,159 @@ def test_grid_cast_default_config_hits_sphere():
     assert agree > 0.98, agree
     r_hit = np.linalg.norm(np.asarray(x)[np.asarray(hit)], axis=-1)
     assert np.median(np.abs(r_hit - 0.5)) < 2e-3
+
+
+def _small_stage2():
+    import tempfile
+
+    from robir_tpu.data.syn_dataset import SynDataset, SynDatasetConfig
+    from robir_tpu.data.synthetic import make_sphere_dataset
+    from robir_tpu.fields.envmap_material import EnvmapMaterialConfig
+    from robir_tpu.fields.neus_model import NeuSConfig
+    from robir_tpu.fields.radiance import RenderingConfig
+    from robir_tpu.fields.sdf import SDFConfig
+    from robir_tpu.fields.visibility import IndirIllumConfig, VisNetConfig
+    from robir_tpu.render.color import ToneMapConfig
+    from robir_tpu.render.stage2 import Stage2Config
+
+    scene = tempfile.mkdtemp()
+    make_sphere_dataset(scene, n_train=4, n_test=1, h=48, w=48, radius=0.5)
+    dataset = SynDataset(SynDatasetConfig(instance_dir=scene))
+    cfg = Stage2Config(
+        neus=NeuSConfig(
+            sdf=SDFConfig(d_out=33, d_hidden=32, n_layers=3, skip_in=(),
+                          multires=3, bias=0.5),
+            color=RenderingConfig(d_feature=32, d_hidden=32, n_layers=2)),
+        envmap=EnvmapMaterialConfig(multires=4, num_lgt_sgs=16,
+                                    encoder_dims=(64, 64),
+                                    decoder_dims=(32,)),
+        indirect=IndirIllumConfig(multires=4, dims=(32, 32), num_lgt_sgs=8),
+        visnet=VisNetConfig(points_multires=4, dirs_multires=4,
+                            dims=(32, 32)),
+        tonemap=ToneMapConfig(hdr_mode=2),
+        grid=GridConfig(resolution=48, bbox_min=(-0.45,) * 3,
+                        bbox_max=(0.45,) * 3, compact_chunk=256))
+    return dataset, cfg
+
+
+def test_stage2_forward_compacted_matches_dense():
+    """Material-path compaction vs dense. Deterministic outputs (diffuse,
+    vis_shadow, material heads, normals) must match exactly; the specular
+    branch draws per-point MC dirs whose values depend on batch shape, so
+    it is compared statistically."""
+    from robir_tpu.render.stage2 import Stage2Model, stage2_forward
+    from robir_tpu.stages.stage2_runner import init_stage2_params
+    from robir_tpu.stages.vis import StageOptConfig  # noqa: F401 (env check)
+    from robir_tpu.tracing.grid import build_sdf_grid
+
+    dataset, cfg = _small_stage2()
+    params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    model0 = Stage2Model(params, cfg)
+    grid = build_sdf_grid(model0.sdf, cfg.grid)
+    model = Stage2Model(params, cfg, grid)
+
+    rng = np.random.default_rng(0)
+    b = dataset.sample_pixels(rng, 0, 512)
+    inp = {"points": b["points"], "dirs": b["dirs"],
+           "object_mask": b["object_mask"],
+           "hdr_shift": np.full((512, 1), 0.4, np.float32)}
+    k = jax.random.PRNGKey(3)
+    dense = stage2_forward(model, k, inp, trainstage="Material",
+                           train_spec=False)
+    comp = stage2_forward(model, k, inp, trainstage="Material",
+                          train_spec=False, compact_chunk=64)
+    assert bool(np.asarray(dense["surface_mask"]).any())
+    for key in ["sg_diffuse_rgb", "vis_shadow", "diffuse_albedo",
+                "roughness", "metallic", "normal_map", "normals",
+                "indir_diffuse_rgb", "points", "network_object_mask"]:
+        np.testing.assert_allclose(
+            np.asarray(comp[key]), np.asarray(dense[key]), rtol=2e-5,
+            atol=2e-5, err_msg=key)
+    # specular: same scale, finite, default off-surface
+    sm = np.asarray(dense["surface_mask"])
+    sc, sd = np.asarray(comp["sg_specular_rgb"]), np.asarray(
+        dense["sg_specular_rgb"])
+    assert np.isfinite(sc).all()
+    assert np.allclose(sc[~sm], 1.0) and np.allclose(sd[~sm], 1.0)
+    if sm.sum() > 16:
+        assert abs(sc[sm].mean() - sd[sm].mean()) < 0.35 * (
+            abs(sd[sm].mean()) + 1e-3)
+
+
+def test_pbr_step_trains_with_compaction():
+    """The PBR runner with compact_chunk engaged: finite, decreasing, and
+    gradients reach the material params."""
+    from robir_tpu.stages.pbr import PBRRunner, PBRStageConfig
+    from robir_tpu.stages.stage2_runner import (StageOptConfig,
+                                                init_stage2_params)
+
+    dataset, cfg = _small_stage2()
+    params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    pbr = PBRRunner(cfg, params, dataset,
+                    PBRStageConfig(num_pixels=256, compact_chunk=64,
+                                   opt=StageOptConfig(lr=1e-3)))
+    pbr.bake_grid()
+    before = jax.tree_util.tree_map(
+        np.asarray, pbr.params["envmap_material_network"]["lgtSGs"])
+    trace = []
+    pbr.run(30, log_every=1, log_fn=lambda i, m: trace.append(m["rgb_loss"]))
+    assert np.all(np.isfinite(trace))
+    assert np.mean(trace[-5:]) < np.mean(trace[:5]) * 1.2
+    after = np.asarray(pbr.params["envmap_material_network"]["lgtSGs"])
+    assert not np.allclose(before, after)
+
+
+def test_cesr_step_compacted_sv_loss_matches_dense():
+    """CESR row-mode compaction: sv_loss (shadow-KL + white + normal
+    consistency) must equal the dense step's exactly — every ingredient is
+    chunk-invariant (per-light sweep draws shared, shadow/normal nets
+    deterministic, weights zero off-surface). Run for warmup and explore."""
+    import dataclasses as dc
+
+    from robir_tpu.fields.sdf import SDFConfig
+    from robir_tpu.stages import cesr as cesr_mod
+    from robir_tpu.stages.cesr import CESRRunner, CESRStageConfig
+    from robir_tpu.stages.stage2_runner import (StageOptConfig,
+                                                init_stage2_params)
+
+    @dc.dataclass(frozen=True)
+    class SmallCESR(CESRStageConfig):
+        @property
+        def shadow_cfg(self):
+            return SDFConfig(d_in=cesr_mod.SHADOW_PE.out_dim + 16, d_out=2,
+                             d_hidden=64, n_layers=3, skip_in=(), multires=0)
+
+        @property
+        def normal_cfg(self):
+            return SDFConfig(d_in=cesr_mod.SHADOW_PE.out_dim, d_out=3,
+                             d_hidden=64, n_layers=3, skip_in=(), multires=0)
+
+    dataset, cfg = _small_stage2()
+    base = dict(num_pixels=256, opt=StageOptConfig(lr=1e-3), white_light=True)
+    params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+
+    runners = {}
+    for name, chunk in [("dense", 0), ("compact", 64)]:
+        p = jax.tree_util.tree_map(jnp.array, params)  # fresh copy
+        runners[name] = CESRRunner(
+            cfg, p, dataset, SmallCESR(compact_chunk=chunk, **base), seed=7)
+        runners[name].bake_grid()
+    runners["compact"].grid_values = runners["dense"].grid_values
+
+    batch = runners["dense"]._batch() if hasattr(
+        runners["dense"], "_batch") else None
+    assert batch is not None
+    k = jax.random.PRNGKey(11)
+
+    for prefit in ["warmup", "explore"]:
+        outs = {}
+        for name, r in runners.items():
+            _, _, m = r._step(r._trainable, r._frozen, r.opt_state,
+                              r.grid_values, r.spec_var, batch, k,
+                              prefit if prefit != "explore" else "none",
+                              False, prefit != "warmup")
+            outs[name] = {kk: float(v) for kk, v in m.items()}
+        assert np.isfinite(outs["compact"]["sv_loss"])
+        np.testing.assert_allclose(outs["compact"]["sv_loss"],
+                                   outs["dense"]["sv_loss"], rtol=1e-4,
+                                   err_msg=prefit)

@@ -173,8 +173,11 @@ def test_pbr_runner_on_mesh(setup):
     from robir_tpu.core.mesh import MeshConfig, create_mesh
     dataset, cfg, params, mesh_path = setup
     mesh = create_mesh(MeshConfig())
+    # num_pixels > compact_chunk: the surface-pixel compaction (global
+    # sort + chunked cond-scan) must compile and train over the mesh too
     pbr = PBRRunner(cfg, params, dataset,
-                    PBRStageConfig(num_pixels=64, opt=SMALL_OPT), mesh=mesh)
+                    PBRStageConfig(num_pixels=256, compact_chunk=64,
+                                   opt=SMALL_OPT), mesh=mesh)
     pbr.bake_grid()
     b = pbr._batch()
     assert len(b["points"].addressable_shards) == 8

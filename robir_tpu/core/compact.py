@@ -106,6 +106,14 @@ def compact_apply(fn: Callable, need: jnp.ndarray,
         return jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), out_shapes)
 
+    # rematerialized body: WITHOUT remat, reverse-mode AD materializes the
+    # scan's stacked cond residuals for every chunk — skipped chunks cost
+    # as much as live ones in the backward and the whole point of the
+    # compaction is lost (measured: grad-through-compact ran at dense
+    # speed; with remat the backward replays the cond, taken branch only,
+    # at ~2x forward cost on live chunks). Harmless for non-differentiated
+    # uses (remat only changes AD).
+    @jax.checkpoint
     def body(_, args):
         start, xc = args
         out = jax.lax.cond(start < n_need, fn, zeros, *xc)

@@ -40,6 +40,10 @@ class VisStageConfig:
     loss: IllumLossConfig = IllumLossConfig(loss_type="L1")
     anneal_t: float = 0.0
     shard_fan: bool = False  # shard the [pixels*nsamp] fan over 'data'
+    # chunk size for the borrowed-color fan compaction (0 = dense); only
+    # hit & front-facing & on-surface secondary rays run the 16-sample
+    # mini render (reference: hit-only boolean indexing)
+    fan_compact_chunk: int = 4096
 
 
 def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
@@ -59,7 +63,8 @@ def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
                    "hdr_shift": batch["hdr_shift"]}
             fwd = stage2_forward(model, k_fwd, inp, trainstage="Illum")
             trace = trace_radiance(model, k_trace, fwd, nsamp=stage_cfg.nsamp,
-                                   shard_fan=stage_cfg.shard_fan)
+                                   shard_fan=stage_cfg.shard_fan,
+                                   compact_chunk=stage_cfg.fan_compact_chunk)
             rad, vis = illum_loss(
                 stage_cfg.loss,
                 indirect_sgs=fwd["indirect_sgs"],

@@ -1,0 +1,84 @@
+"""A/B the PBR train step: dense shade vs surface-pixel compaction.
+
+The all-hit workload in tools/pbr_trace.py can't show the compaction win
+(every pixel is on-surface). This uses a camera-style batch with ~35%
+surface pixels — the realistic fraction for the blender scenes (object
+covers roughly a third of the 800x800 frame, BASELINE.md) — and times
+both paths with the scan protocol.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from robir_tpu.render.stage2 import Stage2Config, Stage2Model  # noqa: E402
+from robir_tpu.stages.pbr import PBRStageConfig, make_pbr_step  # noqa: E402
+from robir_tpu.stages.stage2_runner import (StageOptConfig,  # noqa: E402
+                                            init_stage2_params, make_adam,
+                                            split_params)
+from robir_tpu.tools.profiler import time_scanned  # noqa: E402
+
+
+def main():
+    cfg = Stage2Config()
+    cfg = dataclasses.replace(
+        cfg, visnet=dataclasses.replace(cfg.visnet, storage_dtype="bfloat16"))
+    params = init_stage2_params(jax.random.PRNGKey(0), cfg)
+    from robir_tpu.tracing.grid import build_sdf_grid
+    grid = build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid)
+
+    n = 1024
+    rng = np.random.default_rng(0)
+    # camera at 1.5, rays toward a [-0.75, 0.75]^2 target plane: hit
+    # fraction ~= pi * 0.5^2 / 1.5^2 ~= 0.35 on the geometric-init sphere
+    o = np.tile(np.array([[0.0, 0.0, 1.5]], np.float32), (n, 1))
+    tgt = np.concatenate([rng.uniform(-0.75, 0.75, (n, 2)),
+                          np.zeros((n, 1))], -1).astype(np.float32)
+    d = tgt - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    batch = {"points": jnp.asarray(o), "dirs": jnp.asarray(d),
+             "object_mask": jnp.ones((n,), bool),
+             "rgb": jnp.full((n, 3), 0.5)}
+
+    opt = make_adam(StageOptConfig(lr=5e-4))
+    trainable, frozen = split_params(params, ("gamma",
+                                              "envmap_material_network"))
+    opt_state = opt.init(trainable)
+
+    # report the actual surface fraction
+    from robir_tpu.tracing.grid import grid_cast
+    _, hit, _ = jax.jit(lambda o, d: grid_cast(grid, cfg.grid, o, d))(
+        batch["points"], batch["dirs"])
+    frac = float(jnp.mean(hit.astype(jnp.float32)))
+
+    out = {"surface_fraction": round(frac, 3), "n_pixels": n}
+    for name, chunk in [("dense_ms", 0), ("compact_ms", 128)]:
+        step = make_pbr_step(cfg, PBRStageConfig(num_pixels=n,
+                                                 compact_chunk=chunk),
+                             opt, jit=False)
+
+        def one(carry):
+            t, s, k = carry
+            k, sk = jax.random.split(k)
+            t, s, _ = step(t, frozen, s, grid, batch, sk)
+            return (t, s, k)
+
+        ms = time_scanned(one, (trainable, opt_state, jax.random.PRNGKey(1)),
+                          n_steps=8, reps=3) * 1e3
+        out[name] = round(ms, 2)
+    out["speedup"] = round(out["dense_ms"] / out["compact_ms"], 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

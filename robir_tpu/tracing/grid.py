@@ -53,6 +53,13 @@ class GridConfig:
     # Vis-stage trace (measured 119 ms/step of row gathers at 131k rays).
     compact_after: int = 16
     compact_chunk: int = 4096
+    # Blocked z-gathers: gather 128-wide z-blocks instead of full R-wide
+    # z-rows. Blocks start every 127 cells, so any (z0, z0+1) interpolation
+    # pair lives inside one block — bit-exact, and at R=256 it halves the
+    # gather HBM traffic that dominates the march (trace r3: 39.5 ms/step
+    # of row gathers in the Vis workload). Costs a one-time in-jit
+    # re-layout (~1.5x grid memory). No effect when R <= 128.
+    blocked_gather: bool = True
     # cached-grid element dtype. "bfloat16" halves the row-gather HBM
     # traffic that dominates the march (each trilinear lookup pulls four
     # full z-rows); interpolation math stays fp32. Near the surface the
@@ -105,6 +112,39 @@ def _to_grid_coords(cfg: GridConfig, x: jnp.ndarray) -> jnp.ndarray:
     return (x - lo) / (hi - lo) * (cfg.resolution - 1)
 
 
+_BLOCK = 128     # z-block width (one TPU lane tile)
+_STRIDE = 127    # block stride: any (z0, z0+1) pair fits one block
+
+
+def _prologue(cfg: GridConfig, x: jnp.ndarray):
+    R = cfg.resolution
+    g = _to_grid_coords(cfg, x)
+    g = jnp.clip(g, 0.0, R - 1 - 1e-6)
+    # the 1e-6 inset can round back to R-1 in fp32 (spacing at 255 is
+    # ~1.5e-5), so clamp the CELL index: at the boundary i0 = R-2 with
+    # f = 1.0 lands exactly on node R-1 — same value, indices in bounds
+    i0 = jnp.minimum(jnp.floor(g).astype(jnp.int32), R - 2)
+    f = g - i0
+    return i0, f
+
+
+def _bilinear_rows(take_row, R, i0, f):
+    """Blend the four (x, y)-corner z-rows. ``take_row(lin_xy) -> [N, W]``.
+    i1 = i0 + 1 is always in bounds: the clip in _prologue keeps
+    i0 <= R - 2."""
+    x0, y0 = i0[:, 0], i0[:, 1]
+    x1, y1 = x0 + 1, y0 + 1
+    fx, fy = f[:, 0], f[:, 1]
+    r00 = take_row(x0 * R + y0)
+    r01 = take_row(x0 * R + y1)
+    r10 = take_row(x1 * R + y0)
+    r11 = take_row(x1 * R + y1)
+    return (r00 * ((1 - fx) * (1 - fy))[:, None]
+            + r01 * ((1 - fx) * fy)[:, None]
+            + r10 * (fx * (1 - fy))[:, None]
+            + r11 * (fx * fy)[:, None])
+
+
 def grid_sdf(grid: jnp.ndarray, cfg: GridConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Trilinear SDF lookup, [N, 3] -> [N]. Outside the bbox, clamps to the
     boundary value (callers bound the march by the bbox anyway).
@@ -113,43 +153,79 @@ def grid_sdf(grid: jnp.ndarray, cfg: GridConfig, x: jnp.ndarray) -> jnp.ndarray:
     lane-aligned) + a one-hot z-interpolation on the VPU, not eight scalar
     corner gathers — scalar gathers dominate the secondary-ray tracing
     profile (measured ~49 ms per 131k-point corner sweep; the row form is
-    an order of magnitude cheaper and the z-select is dense vector math)."""
+    an order of magnitude cheaper and the z-select is dense vector math).
+    The march uses the blocked variant below (same math, half the gather
+    traffic at R=256); this full-row form is the reference lookup and the
+    R<=128 path."""
     R = cfg.resolution
-    g = _to_grid_coords(cfg, x)
-    g = jnp.clip(g, 0.0, R - 1 - 1e-6)
-    i0 = jnp.floor(g).astype(jnp.int32)
-    f = g - i0
-    i1 = jnp.minimum(i0 + 1, R - 1)
-
-    x0, y0, z0 = i0[:, 0], i0[:, 1], i0[:, 2]
-    x1, y1 = i1[:, 0], i1[:, 1]
-    fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    i0, f = _prologue(cfg, x)
+    z0, fz = i0[:, 2], f[:, 2]
 
     flat = grid.reshape(R * R, R)
-    r00 = jnp.take(flat, x0 * R + y0, axis=0)   # [N, R]
-    r01 = jnp.take(flat, x0 * R + y1, axis=0)
-    r10 = jnp.take(flat, x1 * R + y0, axis=0)
-    r11 = jnp.take(flat, x1 * R + y1, axis=0)
-    row = (r00 * ((1 - fx) * (1 - fy))[:, None]
-           + r01 * ((1 - fx) * fy)[:, None]
-           + r10 * (fx * (1 - fy))[:, None]
-           + r11 * (fx * fy)[:, None])          # [N, R] bilinear in (x, y)
+    row = _bilinear_rows(lambda lin: jnp.take(flat, lin, axis=0), R, i0, f)
 
-    # z-interp as a dense one-hot contraction (z1 = min(z0+1, R-1) folds
-    # into the weights: at the boundary both lobes land on the same column)
+    # z-interp as a dense one-hot contraction (z1 = z0 + 1 is always in
+    # bounds after the _prologue clip)
     cols = jnp.arange(R, dtype=jnp.int32)[None, :]
     wz = ((cols == z0[:, None]) * (1 - fz)[:, None]
-          + (cols == jnp.minimum(z0 + 1, R - 1)[:, None]) * fz[:, None])
+          + (cols == (z0 + 1)[:, None]) * fz[:, None])
     return jnp.sum(row * wz, axis=-1)
 
 
+def _n_blocks(R: int) -> int:
+    return (R - 2) // _STRIDE + 1
+
+
+def _to_blocked(grid: jnp.ndarray, cfg: GridConfig) -> jnp.ndarray:
+    """[R, R, R] -> [R*R*NB, 128]: overlapping 128-wide z-blocks starting
+    every 127 cells, so block ``z0 // 127`` always contains both z0 and
+    z0 + 1. Built once per jitted region (pure slicing, no gathers)."""
+    R = cfg.resolution
+    nb = _n_blocks(R)
+    flat = grid.reshape(R * R, R)
+    pad = _STRIDE * (nb - 1) + _BLOCK - R
+    if pad > 0:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    blocks = [flat[:, b * _STRIDE:b * _STRIDE + _BLOCK] for b in range(nb)]
+    return jnp.stack(blocks, axis=1).reshape(R * R * nb, _BLOCK)
+
+
+def _sdf_blocked(blocked: jnp.ndarray, cfg: GridConfig,
+                 x: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear lookup against the blocked layout — bit-exact with
+    grid_sdf (same blend order; the extra zero columns in the one-hot
+    contraction add nothing)."""
+    R = cfg.resolution
+    nb = _n_blocks(R)
+    i0, f = _prologue(cfg, x)
+    z0, fz = i0[:, 2], f[:, 2]
+    b = z0 // _STRIDE
+    off = z0 - b * _STRIDE                      # in [0, 126]
+
+    row = _bilinear_rows(
+        lambda lin: jnp.take(blocked, lin * nb + b, axis=0), R, i0, f)
+    cols = jnp.arange(_BLOCK, dtype=jnp.int32)[None, :]
+    wz = ((cols == off[:, None]) * (1 - fz)[:, None]
+          + (cols == (off + 1)[:, None]) * fz[:, None])
+    return jnp.sum(row * wz, axis=-1)
+
+
+def _make_sdf_fn(grid: jnp.ndarray, cfg: GridConfig):
+    """The march-internal lookup: blocked when enabled and profitable."""
+    if cfg.blocked_gather and cfg.resolution > _BLOCK:
+        blocked = _to_blocked(grid, cfg)
+        return lambda x: _sdf_blocked(blocked, cfg, x)
+    return lambda x: grid_sdf(grid, cfg, x)
+
+
 def grid_normal(grid: jnp.ndarray, cfg: GridConfig, x: jnp.ndarray,
-                eps: float | None = None) -> jnp.ndarray:
+                eps: float | None = None, sdf_fn=None) -> jnp.ndarray:
     """Central-difference normal of the interpolated SDF (equivalent of the
     octree's cached ``prox_gradients`` normals, utils/octree.py:385-390)."""
     eps = eps or cfg.cell
+    sdf_fn = sdf_fn or (lambda p: grid_sdf(grid, cfg, p))
     offs = jnp.eye(3) * eps
-    grads = [(grid_sdf(grid, cfg, x + offs[i]) - grid_sdf(grid, cfg, x - offs[i]))
+    grads = [(sdf_fn(x + offs[i]) - sdf_fn(x - offs[i]))
              / (2 * eps) for i in range(3)]
     n = jnp.stack(grads, -1)
     return n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-4, None)
@@ -167,7 +243,7 @@ def _ray_bbox(cfg: GridConfig, o: jnp.ndarray, d: jnp.ndarray):
     return valid, jnp.maximum(tmin, 0.0), tmax
 
 
-def _march(grid: jnp.ndarray, cfg: GridConfig, max_iters: int,
+def _march(sdf_fn, cfg: GridConfig, max_iters: int,
            rays_o, rays_d, t, t_prev, active, hit, t_far):
     """Masked sphere-trace for up to ``max_iters`` steps; early-exits when
     no ray in the batch is active. Per-ray trajectories are independent, so
@@ -179,7 +255,7 @@ def _march(grid: jnp.ndarray, cfg: GridConfig, max_iters: int,
     def body(state):
         t, t_prev, active, hit, it = state
         x = rays_o + t[:, None] * rays_d
-        s = grid_sdf(grid, cfg, x)
+        s = sdf_fn(x)
         new_hit = active & (s < eps_hit)
         step = jnp.maximum(cfg.relax * s, min_step)
         t_prev = jnp.where(active & ~new_hit, t, t_prev)
@@ -197,7 +273,7 @@ def _march(grid: jnp.ndarray, cfg: GridConfig, max_iters: int,
     return t, t_prev, active, hit
 
 
-def _refine(grid: jnp.ndarray, cfg: GridConfig, rays_o, rays_d, t, t_prev,
+def _refine(sdf_fn, cfg: GridConfig, rays_o, rays_d, t, t_prev,
             hit):
     """Bisection on [t_prev, t] + one Newton step along the normal
     (octree.py:428-436). The surface crossing is bracketed by the last
@@ -208,11 +284,11 @@ def _refine(grid: jnp.ndarray, cfg: GridConfig, rays_o, rays_d, t, t_prev,
     min_step = 0.5 * cfg.cell
     lo = t_prev
     hi = t
-    s_hi = grid_sdf(grid, cfg, rays_o + hi[:, None] * rays_d)
+    s_hi = sdf_fn(rays_o + hi[:, None] * rays_d)
     bracketed = hit & (s_hi < 0.0)
     for _ in range(8):
         mid = 0.5 * (lo + hi)
-        s_mid = grid_sdf(grid, cfg, rays_o + mid[:, None] * rays_d)
+        s_mid = sdf_fn(rays_o + mid[:, None] * rays_d)
         go_lo = s_mid > 0.0
         lo = jnp.where(bracketed & go_lo, mid, lo)
         hi = jnp.where(bracketed & ~go_lo, mid, hi)
@@ -220,8 +296,8 @@ def _refine(grid: jnp.ndarray, cfg: GridConfig, rays_o, rays_d, t, t_prev,
 
     # one Newton refinement along the normal (octree.py:428-436)
     x = rays_o + t[:, None] * rays_d
-    n = grid_normal(grid, cfg, x)
-    s = grid_sdf(grid, cfg, x)
+    n = grid_normal(None, cfg, x, sdf_fn=sdf_fn)
+    s = sdf_fn(x)
     speed = jnp.sum(rays_d * n, axis=-1)
     speed = jnp.where(jnp.abs(speed) < 1e-4, 1e-4, speed)
     # want sdf(x + dt d) ~ s + dt (d . n) = 0  ->  dt = -s / (d . n)
@@ -246,17 +322,18 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
     t0 = t_near + cfg.start_offset
     hit0 = jnp.zeros_like(valid)
 
+    sdf_fn = _make_sdf_fn(grid, cfg)
     do_compact = (0 < cfg.compact_after < cfg.max_steps
                   and rays_o.shape[0] > cfg.compact_chunk)
     head = cfg.compact_after if do_compact else cfg.max_steps
-    t, t_prev, active, hit = _march(grid, cfg, head, rays_o, rays_d,
+    t, t_prev, active, hit = _march(sdf_fn, cfg, head, rays_o, rays_d,
                                     t0, t0, valid, hit0, t_far)
 
     if do_compact:
         from ..core.compact import compact_apply
 
         def tail(t, t_prev, active, hit, o, d, tf):
-            tt, tp, _, h = _march(grid, cfg, cfg.max_steps - head, o, d,
+            tt, tp, _, h = _march(sdf_fn, cfg, cfg.max_steps - head, o, d,
                                   t, t_prev, active, hit, tf)
             return tt, tp, h
 
@@ -268,14 +345,14 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
         hit = jnp.where(active, h, hit)
 
         def refine(t, t_prev, h, o, d):
-            return (_refine(grid, cfg, o, d, t, t_prev, h),)
+            return (_refine(sdf_fn, cfg, o, d, t, t_prev, h),)
 
         (t_ref,) = compact_apply(
             refine, hit, [t, t_prev, hit, rays_o, rays_d],
             cfg.compact_chunk)
         t = jnp.where(hit, t_ref, t)
     else:
-        t = _refine(grid, cfg, rays_o, rays_d, t, t_prev, hit)
+        t = _refine(sdf_fn, cfg, rays_o, rays_d, t, t_prev, hit)
 
     x = rays_o + t[:, None] * rays_d
     return t, hit, x
@@ -302,8 +379,9 @@ def grid_visibility_logits(grid: jnp.ndarray, cfg: GridConfig,
     d = d / jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9, None)
     eps_hit = cfg.hit_eps_cells * cfg.cell
     offset = jnp.maximum(cfg.start_offset, 2.0 * eps_hit)
-    s = grid_sdf(grid, cfg, p)
-    n = grid_normal(grid, cfg, p)
+    sdf_fn = _make_sdf_fn(grid, cfg)
+    s = sdf_fn(p)
+    n = grid_normal(None, cfg, p, sdf_fn=sdf_fn)
     near_surface = s < offset
     p = jnp.where(near_surface[:, None],
                   p + n * jnp.clip(offset - s, 0.0, None)[:, None], p)

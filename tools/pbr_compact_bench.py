@@ -39,10 +39,14 @@ def main():
 
     n = 1024
     rng = np.random.default_rng(0)
-    # camera at 1.5, rays toward a [-0.75, 0.75]^2 target plane: hit
-    # fraction ~= pi * 0.5^2 / 1.5^2 ~= 0.35 on the geometric-init sphere
-    o = np.tile(np.array([[0.0, 0.0, 1.5]], np.float32), (n, 1))
-    tgt = np.concatenate([rng.uniform(-0.75, 0.75, (n, 2)),
+    # camera rays toward a square target plane; half-width sets the hit
+    # fraction on the ~r=0.25 geometric-init sphere (argv[1], default the
+    # ~5% of the round-3 first measurement; 0.36 from z=1.0 gives ~35%,
+    # the blender-scene coverage)
+    half = float(sys.argv[1]) if len(sys.argv) > 1 else 0.75
+    zc = float(sys.argv[2]) if len(sys.argv) > 2 else 1.5
+    o = np.tile(np.array([[0.0, 0.0, zc]], np.float32), (n, 1))
+    tgt = np.concatenate([rng.uniform(-half, half, (n, 2)),
                           np.zeros((n, 1))], -1).astype(np.float32)
     d = tgt - o
     d /= np.linalg.norm(d, axis=-1, keepdims=True)

@@ -417,7 +417,7 @@ def cesr_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = Non
         normal_params=runner.params["normal_net"], stage_cfg=sc,
         prefit=sc.prefit_option(runner.cur_iter),
         use_new_normal=runner.cur_iter > sc.normal_switch_iter,
-        spec_var=runner.spec_var)
+        spec_var=runner.spec_var, row_outputs=True)
     out = render_view(model, dataset, idx, sg_render_fn=render,
                       key=runner.next_key(), chunk=chunk)
     plots_dir = plots_dir or os.path.join(runner.log_dir or ".",

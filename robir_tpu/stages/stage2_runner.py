@@ -190,7 +190,8 @@ class Stage2RunnerBase:
 
 def render_view(model: Stage2Model, dataset, idx: int, sg_render_fn=None,
                 key=None, chunk: int = 8000, train_spec: bool = False,
-                lin_diff: bool = False, **sg_kwargs) -> dict:
+                lin_diff: bool = False, compact_chunk: int = 512,
+                **sg_kwargs) -> dict:
     """Chunked whole-image stage-2 eval render (the reference's
     plot-time ``split_input`` loop, utils/general.py:27-69 +
     train_pbr.py:240-276). Returns flat [H*W, .] buffers including the
@@ -213,9 +214,14 @@ def render_view(model: Stage2Model, dataset, idx: int, sg_render_fn=None,
         hdr_shift = jnp.broadcast_to(as_input(model.params["gamma"]),
                                      (d.shape[0], 1))
         inp = {"points": o, "dirs": d, "hdr_shift": hdr_shift}
+        # eval is forward-only, so surface-pixel compaction has no remat
+        # cost and whole-image chunks are mostly empty (object covers
+        # ~1/3 of the frame). CESR's dense render fn returns batch-scalar
+        # supervision and must stay dense — callers pass compact_chunk=0.
         out = stage2_forward(model, k, inp, trainstage="Material",
                              sg_render_fn=sg_render_fn,
                              train_spec=train_spec, lin_diff=lin_diff,
+                             compact_chunk=compact_chunk,
                              **sg_kwargs)
         pred = hdr2ldr(model.params["gamma"], model.cfg.tonemap,
                        out["sg_rgb"] + out["indir_rgb"])

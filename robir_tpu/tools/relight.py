@@ -159,8 +159,11 @@ def _render_chunk(dirs, points, key, *, model: Stage2Model, cfg: Stage2Config,
     n = dirs.shape[0]
     hdr_shift = jnp.broadcast_to(as_input(model.params["gamma"]), (n, 1))
     inp = {"points": points, "dirs": dirs, "hdr_shift": hdr_shift}
+    # forward-only render: surface-pixel compaction skips the mostly-empty
+    # whole-image chunks at no remat cost
     out = stage2_forward(model, key, inp, trainstage="Material",
-                         sg_render_fn=pbr_sg_render, train_spec=False)
+                         sg_render_fn=pbr_sg_render, train_spec=False,
+                         compact_chunk=512)
     # under a swapped light the cached indirect term is stale -> sg only
     # (scripts/relight.py:78-81)
     pred = out["sg_rgb"] + out["indir_rgb"] if light_origin else out["sg_rgb"]

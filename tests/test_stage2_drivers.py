@@ -365,3 +365,19 @@ def test_restore_latest_refreshes_split(setup, tmp_path):
     a = np.asarray(jax.tree_util.tree_leaves(vis2._vis)[0])
     b = np.asarray(jax.tree_util.tree_leaves(vis._vis)[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_cesr_plot_to_disk(setup, tmp_path):
+    """CESR decomposition plot through the compacted row-outputs eval
+    render (supervision scalars are train-only; the plot consumes per-row
+    buffers)."""
+    import os
+
+    from robir_tpu.stages.cesr import CESRRunner, cesr_plot_to_disk
+    dataset, cfg, params, mesh_path = setup
+    cesr = CESRRunner(cfg, params, dataset, small_cesr_cfg(),
+                      log_dir=str(tmp_path))
+    cesr.bake_grid()
+    cesr.run(2)
+    path = cesr_plot_to_disk(cesr, dataset, idx=0, chunk=512)
+    assert os.path.exists(path)

@@ -85,7 +85,13 @@ def main_pbr():
     trainable, frozen = split_params(params, ("gamma",
                                               "envmap_material_network"))
     opt_state = opt.init(trainable)
-    step = make_pbr_step(cfg, PBRStageConfig(num_pixels=n), opt, jit=False)
+    # compact_chunk=0: this workload is ALL-HIT (every ray on-surface), so
+    # surface-pixel compaction can only add overhead — keep the metric
+    # comparable across rounds. Compaction wins on realistic camera
+    # batches are measured separately (tools/pbr_compact_bench.py:
+    # 1.5x at 20% coverage, 1.86x at 5%).
+    step = make_pbr_step(cfg, PBRStageConfig(num_pixels=n, compact_chunk=0),
+                         opt, jit=False)
     k_steps = 8
 
     def multi(trainable, opt_state, key):

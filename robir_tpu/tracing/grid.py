@@ -51,15 +51,19 @@ class GridConfig:
     # independent. 0 disables. Most secondary rays exit the bbox or hit
     # within ~16 steps; the full-width tail was the dominant cost of the
     # Vis-stage trace (measured 119 ms/step of row gathers at 131k rays).
-    compact_after: int = 16
+    # Head-length sweep on the chip (Vis step ms): 4 -> 67.9, 8 -> 59.6,
+    # 16 -> 66.4, 24 -> 82.9 — 8 balances full-width head gathers against
+    # live tail chunks.
+    compact_after: int = 8
     compact_chunk: int = 4096
     # Blocked z-gathers: gather 128-wide z-blocks instead of full R-wide
-    # z-rows. Blocks start every 127 cells, so any (z0, z0+1) interpolation
-    # pair lives inside one block — bit-exact, and at R=256 it halves the
-    # gather HBM traffic that dominates the march (trace r3: 39.5 ms/step
-    # of row gathers in the Vis workload). Costs a one-time in-jit
-    # re-layout (~1.5x grid memory). No effect when R <= 128.
-    blocked_gather: bool = True
+    # z-rows (overlapping blocks strided by 127 so any (z0, z0+1) pair
+    # lives in one block). Halves the bytes per lookup at R=256 —
+    # MEASURED NEUTRAL on the chip (Vis step 68.2 vs 66.4 ms): the march's
+    # gather cost is per-row-fetch bound, not bandwidth bound, at 131k
+    # random rows. Kept off; flip on only if a future workload shows
+    # bandwidth-bound gathers.
+    blocked_gather: bool = False
     # cached-grid element dtype. "bfloat16" halves the row-gather HBM
     # traffic that dominates the march (each trilinear lookup pulls four
     # full z-rows); interpolation math stays fp32. Near the surface the

@@ -92,8 +92,8 @@ def compact_apply(fn: Callable, need: jnp.ndarray,
 
     key = (~need).astype(jnp.int32)
     idx = jnp.arange(total, dtype=jnp.int32)
-    _, sorted_arrs = _sort_by(key, [idx, need, *inputs])
-    sidx, sneed, sinputs = sorted_arrs[0], sorted_arrs[1], sorted_arrs[2:]
+    _, sorted_arrs = _sort_by(key, [idx, *inputs])
+    sidx, sinputs = sorted_arrs[0], sorted_arrs[1:]
 
     n_need = jnp.sum(need.astype(jnp.int32))
     starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk

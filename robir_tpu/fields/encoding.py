@@ -144,7 +144,13 @@ def grid_embed(params: dict, cfg: GridEmbedConfig,
     Matches torch ``F.grid_sample`` semantics exactly: align_corners=False
     (half-texel inset: coord c maps to index ((c+1)*N - 1)/2), zero padding
     outside, and grid_sample's (x, y, z) coordinate order indexing grid
-    dims (W, H, D) — i.e. x walks the LAST grid axis."""
+    dims (W, H, D) — i.e. x walks the LAST grid axis.
+
+    TPU form: four gathers of contiguous W-rows (one per (z, y) corner
+    pair) + a one-hot x contraction, not eight scalar corner gathers —
+    the same row-gather pattern as the tracer's trilinear lookup
+    (tracing/grid.py; scalar gathers measured ~10x slower at scale).
+    grid_sample's zero padding folds into the row/one-hot weights."""
     g = params["grid"]  # [C, N, N, N] = [C, D, H, W]
     C, N = g.shape[0], g.shape[1]
     shape = x.shape[:-1]
@@ -153,27 +159,27 @@ def grid_embed(params: dict, cfg: GridEmbedConfig,
     idx = ((pts + 1.0) * N - 1.0) * 0.5           # [M, 3] in (x, y, z)
     i0 = jnp.floor(idx).astype(jnp.int32)
     f = idx - i0
-
-    def corner(ox, oy, oz):
-        ix, iy, iz = i0[:, 0] + ox, i0[:, 1] + oy, i0[:, 2] + oz
-        inb = ((ix >= 0) & (ix < N) & (iy >= 0) & (iy < N)
-               & (iz >= 0) & (iz < N))
-        ixc = jnp.clip(ix, 0, N - 1)
-        iyc = jnp.clip(iy, 0, N - 1)
-        izc = jnp.clip(iz, 0, N - 1)
-        # x indexes W (last axis), y -> H, z -> D
-        flat = g.reshape(C, -1)                    # [C, D*H*W]
-        lin = (izc * N + iyc) * N + ixc
-        v = jnp.take(flat, lin, axis=1)            # [C, M]
-        return jnp.where(inb[None, :], v, 0.0)
-
     fx, fy, fz = f[:, 0], f[:, 1], f[:, 2]
+    ix0, iy0, iz0 = i0[:, 0], i0[:, 1], i0[:, 2]
+
+    rows = g.reshape(C, N * N, N)                 # [C, D*H, W]
+    cols = jnp.arange(N, dtype=jnp.int32)[None, :]
+
+    def row(oy, oz):
+        """Gather the (z0+oz, y0+oy) W-row per point, zeroed off-grid."""
+        iy, iz = iy0 + oy, iz0 + oz
+        inb = (iy >= 0) & (iy < N) & (iz >= 0) & (iz < N)
+        lin = jnp.clip(iz, 0, N - 1) * N + jnp.clip(iy, 0, N - 1)
+        v = jnp.take(rows, lin, axis=1)            # [C, M, W]
+        return jnp.where(inb[None, :, None], v, 0.0)
+
+    # one-hot x weights carry grid_sample's zero padding in x: an
+    # out-of-range column simply matches no lane
+    wx = ((cols == ix0[:, None]) * (1 - fx)[:, None]
+          + (cols == (ix0 + 1)[:, None]) * fx[:, None])  # [M, W]
     out = jnp.zeros((C, pts.shape[0]))
-    for ox in (0, 1):
-        wx = fx if ox else 1.0 - fx
-        for oy in (0, 1):
-            wy = fy if oy else 1.0 - fy
-            for oz in (0, 1):
-                wz = fz if oz else 1.0 - fz
-                out = out + corner(ox, oy, oz) * (wx * wy * wz)[None, :]
+    for oy, wy in ((0, 1 - fy), (1, fy)):
+        for oz, wz in ((0, 1 - fz), (1, fz)):
+            blend = jnp.sum(row(oy, oz) * wx[None], axis=-1)   # [C, M]
+            out = out + blend * (wy * wz)[None, :]
     return out.T.reshape(shape + (C,))

@@ -429,7 +429,8 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
                    specular_nsamp: int = 8,
                    diffuse_sweep_chunk: int = 0,
                    supervise_weight: Optional[jnp.ndarray] = None,
-                   supervise_rows: bool = False) -> SGRenderOutput:
+                   supervise_rows: bool = False,
+                   spec_key: Optional[jax.Array] = None) -> SGRenderOutput:
     """Full SG shading for one light set. Parity: sg_render.py:343-565.
 
     points/normal/viewdirs: [N, 3]; lgt_sgs: [N, M, 7] or [M, 7];
@@ -502,7 +503,14 @@ def render_with_sg(key: jax.Array, points: jnp.ndarray, normal: jnp.ndarray,
     # texture-space multi-view shading (MULTI_VIEW, sg_render.py:356,465),
     # in which case the specular branch vmaps over the view axis while the
     # view-independent diffuse term is shared.
+    # spec_key decouples the per-POINT specular-vis sampling stream from
+    # the per-LIGHT diffuse stream: under surface-pixel compaction the
+    # caller passes a per-chunk key here so per-row draws don't repeat
+    # across chunks, while the diffuse sweep stays on the shared key
+    # (chunk-invariant = identical to the dense computation)
     k_spec, key = jax.random.split(key)
+    if spec_key is not None:
+        k_spec = spec_key
     multi_view = viewdirs.ndim == 3
 
     def spec_fn(rough: jnp.ndarray) -> jnp.ndarray:
@@ -563,7 +571,7 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
                        prefit=None, argmax_vis=False,
                        fun_spec=False, diffuse_sweep_chunk=0,
                        supervise_weight=None,
-                       supervise_rows=False) -> AllSGOutput:
+                       supervise_rows=False, spec_key=None) -> AllSGOutput:
     """Direct (visibility-attenuated) + indirect SG shading.
     Parity: sg_render.py:304-337. With ``fun_spec`` both specular fields
     are roughness-parameterized callables."""
@@ -575,14 +583,17 @@ def render_with_all_sg(key: jax.Array, points, normal, viewdirs, lgt_sgs,
         lin_diff=lin_diff, metallic=metallic, diffuse_vis=diffuse_vis,
         prefit=prefit, argmax_vis=argmax_vis, fun_spec=fun_spec,
         diffuse_sweep_chunk=diffuse_sweep_chunk,
-        supervise_weight=supervise_weight, supervise_rows=supervise_rows)
+        supervise_weight=supervise_weight, supervise_rows=supervise_rows,
+        spec_key=spec_key)
 
     if indir_lgt_sgs is not None:
         indirect = render_with_sg(
             k2, points, normal, viewdirs, indir_lgt_sgs, specular_reflectance,
             roughness, diffuse_albedo, comp_vis=False, vis_fn=vis_fn,
             lin_diff=lin_diff, indir_integral=indir_integral,
-            metallic=metallic, argmax_vis=argmax_vis, fun_spec=fun_spec)
+            metallic=metallic, argmax_vis=argmax_vis, fun_spec=fun_spec,
+            spec_key=(None if spec_key is None
+                      else jax.random.fold_in(spec_key, 1)))
         indir = (indirect.sg_rgb, indirect.sg_diffuse_rgb, indirect.sg_specular_rgb)
     else:
         z = jnp.zeros_like(points)

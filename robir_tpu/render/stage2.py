@@ -231,7 +231,7 @@ SGRenderFn = Callable[..., dict]
 def default_sg_render(model: Stage2Model, key: jax.Array, points, view_dirs,
                       indir_lgt_sgs, indir_integral=None, train_spec=False,
                       lin_diff=False, albedo_ratio=None, argmax_vis=False,
-                      **_) -> dict:
+                      chunk_key=None, **_) -> dict:
     """The PBR-style SG render (IDRNetwork.get_sg_render, :499-529):
     geometry normals from the frozen SDF + material heads + full SG shading
     with MLP visibility."""
@@ -239,6 +239,8 @@ def default_sg_render(model: Stage2Model, key: jax.Array, points, view_dirs,
     normals = model.sdf_gradient(points)  # reference keeps unnormalized (:488-492)
 
     k_mat, k_sg = jax.random.split(key)
+    if chunk_key is not None:     # per-row draws: per-chunk stream
+        k_mat = chunk_key
     mat = model.material(points, key=k_mat, train_spec=train_spec)
     diffuse_albedo = mat.diffuse_albedo
     if albedo_ratio is not None:
@@ -259,7 +261,9 @@ def default_sg_render(model: Stage2Model, key: jax.Array, points, view_dirs,
         vis_outer_fn=model.vis_logits_outer,
         lin_diff=lin_diff,
         argmax_vis=argmax_vis,
-        diffuse_sweep_chunk=model.cfg.sweep_light_chunk)
+        diffuse_sweep_chunk=model.cfg.sweep_light_chunk,
+        spec_key=(None if chunk_key is None
+                  else jax.random.fold_in(chunk_key, 2)))
 
     return {
         "normals": normals,
@@ -364,11 +368,20 @@ def stage2_forward(model: Stage2Model, key: jax.Array, inp: dict,
     if compact_chunk and n > compact_chunk:
         hs = (hdr_shift if hdr_shift is not None
               else jnp.zeros((n, 1), jnp.float32))
+        row_ids = jnp.arange(n, dtype=jnp.int32)
 
-        def row_render(pts, vdirs, isgs, iint, h, smask):
+        def row_render(rid, pts, vdirs, isgs, iint, h, smask):
+            # two RNG streams: the shared k_sg keeps per-LIGHT draws (the
+            # diffuse-sweep sample dirs) identical across chunks — exactly
+            # the dense computation — while chunk_key (folded on the
+            # chunk's first sorted row id, unique per chunk) decorrelates
+            # the per-ROW draws (material xi, per-point specular-vis dirs)
+            # that would otherwise repeat every chunk and band eval images
             r = render(model, k_sg, pts, vdirs, isgs, indir_integral=iint,
                        train_spec=train_spec, lin_diff=lin_diff,
-                       hdr_shift=h, surface_mask=smask, **sg_kwargs)
+                       hdr_shift=h, surface_mask=smask,
+                       chunk_key=jax.random.fold_in(k_sg, rid[0]),
+                       **sg_kwargs)
             bad = [name for name, v in r.items()
                    if jnp.ndim(v) == 0 or v.shape[0] != pts.shape[0]]
             if bad:
@@ -378,10 +391,9 @@ def stage2_forward(model: Stage2Model, key: jax.Array, inp: dict,
                     f"fn dense (compact_chunk=0)")
             return r
 
-        from ..core.compact import compact_apply
         ret = compact_apply(
             row_render, surface_mask,
-            [points, -ray_dirs, indirect_sgs, indirect_integral, hs,
+            [row_ids, points, -ray_dirs, indirect_sgs, indirect_integral, hs,
              surface_mask], compact_chunk)
     else:
         ret = render(model, k_sg, points, -ray_dirs, indirect_sgs,
@@ -498,6 +510,12 @@ def trace_radiance(model: Stage2Model, key: jax.Array, forward_out: dict,
     # zeroed downstream anyway. Exact, and skips ~75% of the fan's FLOPs.
     need = (sec_hit & (~back_cull).reshape(-1)
             & jnp.broadcast_to(points_mask[:, None], (n, nsamp)).reshape(-1))
+    if shard_fan:
+        # the fan is spread over the mesh 'data' axis precisely to keep
+        # this work distributed; the compaction's global sort would
+        # re-gather it (a cross-device all-to-all) and serialize the
+        # chunk scan — mutually exclusive by design
+        compact_chunk = 0
     if n * nsamp > compact_chunk > 0:
         (color,) = compact_apply(
             lambda x, d: (model.borrow_color(x, d),), need, [sec_x, -d_flat],

@@ -142,7 +142,7 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
                    indir_integral=None, *, shadow_params, normal_params,
                    stage_cfg: CESRStageConfig, prefit: str, use_new_normal: bool,
                    spec_var=None, train_spec=True, surface_mask=None,
-                   row_outputs: bool = False, **_) -> dict:
+                   row_outputs: bool = False, chunk_key=None, **_) -> dict:
     """CESR get_sg_render (train_cesr.py:465-544).
 
     ``surface_mask`` ([N] bool, from the dense stage2_forward) weights the
@@ -162,6 +162,8 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
                                  1e-4, None)
 
     k_mat, k_sg = jax.random.split(key)
+    if chunk_key is not None:   # per-row draws: per-chunk stream
+        k_mat = chunk_key
     mat = model.material(points, key=k_mat, train_spec=train_spec,
                          spec_var=spec_var)
     indir_integral = indir_integral * 2 * np.pi
@@ -183,7 +185,9 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
         lin_diff=True, diffuse_vis=diffuse_vis, prefit=prefit,
         argmax_vis=stage_cfg.argmax_vis,
         diffuse_sweep_chunk=model.cfg.sweep_light_chunk,
-        supervise_weight=sv_weight, supervise_rows=row_outputs)
+        supervise_weight=sv_weight, supervise_rows=row_outputs,
+        spec_key=(None if chunk_key is None
+                  else jax.random.fold_in(chunk_key, 2)))
 
     # recompose rgb: diffuse light x albedo / pi + specular (:523-524)
     sg_rgb = sg_ret.sg_diffuse_rgb * mat.diffuse_albedo / np.pi + sg_ret.sg_specular_rgb

@@ -54,14 +54,21 @@ def white_loss(lgt_sgs: jnp.ndarray) -> jnp.ndarray:
 
 def pbr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
                   indir_integral=None, train_spec=True, lin_diff=False,
-                  use_normal_map=True, argmax_vis=False, **_) -> dict:
-    """The PBR get_sg_render override (train_pbr.py:348-396)."""
+                  use_normal_map=True, argmax_vis=False, chunk_key=None,
+                  **_) -> dict:
+    """The PBR get_sg_render override (train_pbr.py:348-396).
+
+    ``chunk_key``: per-chunk stream for the per-row MC draws under
+    surface-pixel compaction (material xi, per-point specular-vis dirs);
+    the shared ``key`` keeps per-light draws chunk-invariant."""
     view_dirs = view_dirs / (jnp.linalg.norm(view_dirs, axis=-1, keepdims=True) + 1e-6)
     normals = model.sdf_gradient(points)
     normals = normals / jnp.clip(jnp.linalg.norm(normals, axis=-1, keepdims=True),
                                  1e-4, None)
 
     k_mat, k_sg = jax.random.split(key)
+    if chunk_key is not None:
+        k_mat = chunk_key
     mat = model.material(points, key=k_mat, train_spec=train_spec)
     indir_integral = indir_integral * 2 * np.pi
 
@@ -73,7 +80,9 @@ def pbr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
         indir_lgt_sgs=indir_lgt_sgs, indir_integral=indir_integral,
         vis_fn=model.vis_logits, vis_outer_fn=model.vis_logits_outer,
         lin_diff=lin_diff, argmax_vis=argmax_vis,
-        diffuse_sweep_chunk=model.cfg.sweep_light_chunk)
+        diffuse_sweep_chunk=model.cfg.sweep_light_chunk,
+        spec_key=(None if chunk_key is None
+                  else jax.random.fold_in(chunk_key, 2)))
 
     return {
         "normals": normals,

@@ -328,6 +328,7 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
 
     sdf_fn = _make_sdf_fn(grid, cfg)
     do_compact = (0 < cfg.compact_after < cfg.max_steps
+                  and cfg.compact_chunk > 0
                   and rays_o.shape[0] > cfg.compact_chunk)
     head = cfg.compact_after if do_compact else cfg.max_steps
     t, t_prev, active, hit = _march(sdf_fn, cfg, head, rays_o, rays_d,

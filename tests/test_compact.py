@@ -248,7 +248,7 @@ def test_cesr_step_compacted_sv_loss_matches_dense():
     assert batch is not None
     k = jax.random.PRNGKey(11)
 
-    for prefit in ["warmup", "explore"]:
+    for prefit in ["warmup", "explore", "project"]:
         outs = {}
         for name, r in runners.items():
             _, _, m = r._step(r._trainable, r._frozen, r.opt_state,

@@ -40,6 +40,18 @@ class SDFConfig:
     geometric_init: bool = True
     weight_norm: bool = True
     inside_outside: bool = False
+    # spatial-gradient formulation for sdf_full_and_gradient:
+    #   "vjp"    — per-point reverse-mode via vmap(grad) (round-1/2 default),
+    #   "manual" — hand-written batched backward (same matmul/sigmoid chain
+    #              AD emits, as plain [N, d] batched ops). Removes the
+    #              jvp(vmap(jvp())) seam HLOs the round-3 trace pinned
+    #              (~0.8 ms/step of [N,1,257] cotangent assembly/splits) and
+    #              skips the last layer's [N,257]x[257,256] backward matmul
+    #              (the sdf seed row is the constant W_last[:, 0]).
+    # Measured on the v5e NeuS train step: 11.93 -> 10.88 ms/step (1.10x,
+    # tools/neus_manual_grad_bench.py); fp32-exact vs "vjp" to ~1e-4 incl.
+    # second-order param grads (tests/test_fields.py::TestManualGradient).
+    grad_mode: str = "manual"
     # route value+gradient through the fused Pallas kernel
     # (render/pallas/fused_value_grad.py): same math, activations stay in
     # VMEM. Opt-in; the wrapped op is once-differentiable (exactly what the
@@ -173,12 +185,16 @@ def sdf_gradient(params: Params, cfg: SDFConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Analytic SDF spatial gradient at each point: [N, 3] -> [N, 3].
 
     Equivalent of the reference's create_graph autograd
-    (neus_fields.py:120-135): per-point reverse-mode, batched by vmap. On
-    TPU this reverse-over-reverse structure measured fastest for the
-    second-order (eikonal-through-params) term — faster than both a single
-    batched VJP (pathological transpose-of-transpose graphs) and 3
-    forward-mode JVPs (~1.5x slower end to end).
+    (neus_fields.py:120-135). With ``cfg.grad_mode == "manual"`` (default)
+    this is the hand-written batched backward of
+    ``_manual_full_and_gradient`` (XLA dead-code-eliminates the unused
+    feature channels); "vjp" keeps the round-1/2 per-point reverse-mode
+    batched by vmap — which measured faster than both a single batched VJP
+    (pathological transpose-of-transpose graphs) and 3 forward-mode JVPs
+    (~1.5x slower end to end), but slower than "manual".
     """
+    if cfg.grad_mode == "manual" and not cfg.fused_kernel:
+        return _manual_full_and_gradient(params, cfg, x)[1]
     grad_fn = jax.grad(lambda p: sdf_value(params, cfg, p[None])[0, 0])
     return jax.vmap(grad_fn)(x)
 
@@ -199,6 +215,8 @@ def sdf_full_and_gradient(params: Params, cfg: SDFConfig, x: jnp.ndarray):
     coordinate scale stay outside in XLA."""
     if cfg.fused_kernel:
         return _fused_full_and_gradient(params, cfg, x)
+    if cfg.grad_mode == "manual":
+        return _manual_full_and_gradient(params, cfg, x)
 
     def one(pt):
         def f(pp):
@@ -209,6 +227,94 @@ def sdf_full_and_gradient(params: Params, cfg: SDFConfig, x: jnp.ndarray):
         return full, g
 
     return jax.vmap(one)(x)
+
+
+def _dot_store(a, w, store):
+    """The exact matmul ``apply_linear`` runs: bf16 operands + bf16-rounded
+    output when ``store`` is set (fp32 MXU accumulate on TPU), plain fp32
+    otherwise."""
+    if store is not None:
+        return jax.lax.dot_general(a.astype(store), w.astype(store),
+                                   (((a.ndim - 1,), (0,)), ((), ())),
+                                   preferred_element_type=store)
+    return a @ w
+
+
+def _manual_full_and_gradient(params: Params, cfg: SDFConfig, x: jnp.ndarray):
+    """Batched forward + hand-written input-gradient backward.
+
+    Mathematically identical to reverse-mode AD of the forward (same matmul
+    and sigmoid(beta z) chain, in the same storage dtype), but written as
+    plain batched ops so (a) the outer loss gradient differentiates a flat
+    graph instead of a nested jvp(vmap(jvp())) one, and (b) the last layer's
+    backward matmul collapses to broadcasting the constant seed row
+    W_last[:, 0]. The reference computes this same quantity with
+    create_graph autograd (neus_fields.py:120-135)."""
+    store = cfg.store
+    n_lin = len(cfg.dims) - 1
+    ws, bs = [], []
+    for layer in range(n_lin):
+        p = params[f"lin{layer}"]
+        if "v" in p:
+            v = p["v"]
+            w = v * (p["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
+        else:
+            w = p["w"]
+        ws.append(w)
+        bs.append(p["b"])
+
+    def encode(xx):
+        inputs = xx * cfg.scale
+        if cfg.multires > 0:
+            inputs = positional_encoding(inputs, cfg.pe)
+        return inputs
+
+    e, pe_vjp = jax.vjp(encode, x)
+
+    inv_sqrt2 = 1.0 / np.sqrt(2)
+    h = e
+    pre_acts = []  # hidden-layer pre-activations, in storage dtype
+    for layer in range(n_lin):
+        if layer in cfg.skip_in:
+            h = jnp.concatenate([h, e.astype(h.dtype)],
+                                axis=-1) * jnp.asarray(inv_sqrt2, h.dtype)
+        z = _dot_store(h, ws[layer], store)
+        z = z + (bs[layer].astype(z.dtype) if store is not None else bs[layer])
+        if layer < n_lin - 1:
+            pre_acts.append(z)
+            h = softplus_beta(z, 100.0)
+        else:
+            h = z
+    h = h.astype(jnp.float32)
+    full = jnp.concatenate([h[..., :1] / cfg.scale, h[..., 1:]], axis=-1)
+
+    # backward: d sdf / d encoded-input. Seed through the last (linear)
+    # layer is its first weight column — constant across points.
+    seed = ws[-1][:, 0] / cfg.scale
+    if store is not None:
+        seed = seed.astype(store)
+    g = jnp.broadcast_to(seed[None, :], (x.shape[0], seed.shape[0]))
+    g_e = None
+    if n_lin - 1 in cfg.skip_in:  # skip concat feeding the last layer
+        trunk = ws[-1].shape[0] - e.shape[-1]
+        g = g * jnp.asarray(inv_sqrt2, g.dtype)
+        g_e = g[:, trunk:]
+        g = g[:, :trunk]
+    for layer in range(n_lin - 2, -1, -1):
+        z = pre_acts[layer]
+        gz = g * jax.nn.sigmoid(jnp.asarray(100.0, z.dtype) * z)
+        gx = _dot_store(gz, ws[layer].T, store)
+        if layer in cfg.skip_in:
+            trunk = ws[layer].shape[0] - e.shape[-1]
+            gx = gx * jnp.asarray(inv_sqrt2, gx.dtype)
+            part = gx[:, trunk:]
+            g_e = part if g_e is None else g_e + part
+            g = gx[:, :trunk]
+        else:
+            g = gx
+    g_e = g if g_e is None else g_e + g.astype(g_e.dtype)
+    (grad_x,) = pe_vjp(g_e.astype(e.dtype))
+    return full, grad_x
 
 
 def _fused_full_and_gradient(params: Params, cfg: SDFConfig, x: jnp.ndarray):

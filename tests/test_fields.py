@@ -305,3 +305,75 @@ def test_grid_embed_matches_torch_grid_sample():
     grad = jax.grad(lambda p: jnp.sum(
         grid_embed(p, cfg, jnp.asarray(pts[:64])) ** 2))(params)
     assert float(jnp.abs(grad["grid"]).sum()) > 0
+
+
+class TestManualGradient:
+    """grad_mode="manual" must reproduce the vmap(grad) formulation: it is
+    the same matmul/sigmoid chain written as plain batched ops."""
+
+    def _pair(self, storage_dtype=None, skip_in=(4,), n_layers=8):
+        import dataclasses
+        cfg = sdf_mod.SDFConfig(multires=6, skip_in=skip_in,
+                                n_layers=n_layers,
+                                storage_dtype=storage_dtype)
+        params = sdf_mod.init_sdf(jax.random.PRNGKey(7), cfg)
+        # perturb away from the symmetric geometric init
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.01 * jax.random.normal(
+                jax.random.PRNGKey(int(p.size) % 97), p.shape), params)
+        man = dataclasses.replace(cfg, grad_mode="manual")
+        return cfg, man, params
+
+    def test_fp32_matches_vjp(self):
+        cfg, man, params = self._pair()
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 3)),
+                        jnp.float32) * 0.5
+        f0, g0 = sdf_mod.sdf_full_and_gradient(params, cfg, x)
+        f1, g1 = sdf_mod.sdf_full_and_gradient(params, man, x)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_second_order_param_grads_match(self):
+        """The outer (training) gradient through the spatial gradient must
+        match: loss = sum(grad_x ** 2) + sum(full ** 2)."""
+        cfg, man, params = self._pair()
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((32, 3)),
+                        jnp.float32) * 0.5
+
+        def loss(pp, c):
+            full, g = sdf_mod.sdf_full_and_gradient(pp, c, x)
+            return jnp.sum(g ** 2) + 1e-3 * jnp.sum(full ** 2)
+
+        g0 = jax.grad(lambda pp: loss(pp, cfg))(params)
+        g1 = jax.grad(lambda pp: loss(pp, man))(params)
+        for k0, k1 in zip(jax.tree_util.tree_leaves(g0),
+                          jax.tree_util.tree_leaves(g1)):
+            # different-but-equivalent graphs accumulate in different
+            # orders; tolerance is fp32 reassociation noise
+            np.testing.assert_allclose(np.asarray(k1), np.asarray(k0),
+                                       rtol=5e-4, atol=1e-4)
+
+    def test_bf16_storage_close(self):
+        cfg, man, params = self._pair(storage_dtype="bfloat16")
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((64, 3)),
+                        jnp.float32) * 0.5
+        f0, g0 = sdf_mod.sdf_full_and_gradient(params, cfg, x)
+        f1, g1 = sdf_mod.sdf_full_and_gradient(params, man, x)
+        # identical op sequence in the same storage dtype -> bf16-noise close
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=5e-2, atol=5e-2)
+
+    def test_skip_at_last_layer(self):
+        cfg, man, params = self._pair(skip_in=(2, 3), n_layers=3)
+        x = jnp.asarray(np.random.default_rng(3).standard_normal((16, 3)),
+                        jnp.float32) * 0.5
+        f0, g0 = sdf_mod.sdf_full_and_gradient(params, cfg, x)
+        f1, g1 = sdf_mod.sdf_full_and_gradient(params, man, x)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-4, atol=1e-6)

@@ -82,6 +82,52 @@ def apply_linear(params: Params, x: jnp.ndarray,
     return x @ w + params["b"]
 
 
+def apply_linear_parts(params: Params, parts: list[jnp.ndarray],
+                       compute_dtype=None, storage_dtype=None,
+                       pre_scale: float | None = None) -> jnp.ndarray:
+    """``apply_linear(params, concat(parts, -1) * pre_scale)`` without
+    materializing the concatenation: the weight is split by part widths and
+    the partial products summed (equal up to fp32 reassociation over the
+    contracted dim).
+
+    On TPU this removes two hot data-movement HLOs per wide input: the
+    forward concatenate (copying the dominant wide part into a fresh
+    buffer) and the backward transpose's slice extracting its cotangent —
+    measured 0.2 ms each per train step at [65k, 289] on the v5e color
+    net."""
+    if "v" in params:
+        v = params["v"]
+        w = v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
+    else:
+        w = params["w"]
+    b = params["b"]
+    off = 0
+    y = None
+    for p in parts:
+        k = p.shape[-1]
+        wp = w[off:off + k]
+        off += k
+        if pre_scale is not None:
+            p = p * jnp.asarray(pre_scale, p.dtype)
+        if storage_dtype is not None:
+            t = jax.lax.dot_general(p.astype(storage_dtype),
+                                    wp.astype(storage_dtype),
+                                    (((p.ndim - 1,), (0,)), ((), ())),
+                                    preferred_element_type=storage_dtype)
+        elif compute_dtype is not None:
+            t = jax.lax.dot_general(p.astype(compute_dtype),
+                                    wp.astype(compute_dtype),
+                                    (((p.ndim - 1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        else:
+            t = p @ wp
+        y = t if y is None else y + t
+    assert off == w.shape[0], (off, w.shape)
+    if storage_dtype is not None:
+        return y + b.astype(storage_dtype)
+    return y + b
+
+
 def softplus_beta(x: jnp.ndarray, beta: float = 100.0) -> jnp.ndarray:
     """torch Softplus(beta): log(1 + exp(beta x)) / beta, numerically stable
     (torch switches to identity above threshold; jax.nn.softplus is already

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .encoding import PEConfig, positional_encoding
-from .mlp import Params, apply_linear, init_linear
+from .mlp import Params, apply_linear, apply_linear_parts, init_linear
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,16 +79,20 @@ def rendering_apply(params: Params, cfg: RenderingConfig, points: jnp.ndarray,
     if cfg.multires_view > 0:
         view_dirs = positional_encoding(view_dirs, cfg.view_pe)
     if "no_view_dir" in cfg.mode:
-        h = jnp.concatenate([points, normals, feature_vectors], axis=-1)
+        small = jnp.concatenate([points, normals], axis=-1)
     elif "no_normal" in cfg.mode:
-        h = jnp.concatenate([points, view_dirs, feature_vectors], axis=-1)
+        small = jnp.concatenate([points, view_dirs], axis=-1)
     else:  # idr
-        h = jnp.concatenate([points, view_dirs, normals, feature_vectors], axis=-1)
+        small = jnp.concatenate([points, view_dirs, normals], axis=-1)
+    # first layer as split matmuls: the 256-wide feature block never rides
+    # through a concatenated input buffer (nor its backward slice) — equal
+    # to concat-then-matmul up to fp32 reassociation over the K dim
+    h = apply_linear_parts(params["lin0"], [small, feature_vectors],
+                           storage_dtype=cfg.store)
     n = len(cfg.dims)
-    for i in range(n - 1):
+    for i in range(1, n - 1):
+        h = jax.nn.relu(h)
         h = apply_linear(params[f"lin{i}"], h, storage_dtype=cfg.store)
-        if i < n - 2:
-            h = jax.nn.relu(h)
     h = h.astype(jnp.float32)
     if cfg.use_sigmoid:
         h = jax.nn.sigmoid(h)

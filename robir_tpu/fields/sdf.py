@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .encoding import PEConfig, positional_encoding
-from .mlp import Params, apply_linear, init_linear, softplus_beta
+from .mlp import (Params, apply_linear, apply_linear_parts, init_linear,
+                  softplus_beta)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,10 +162,14 @@ def sdf_apply(params: Params, cfg: SDFConfig, x: jnp.ndarray,
     store = cfg.store
     for layer in range(num_layers - 1):
         if layer in cfg.skip_in:
-            h = jnp.concatenate([h, inputs.astype(h.dtype)],
-                                axis=-1) * jnp.asarray(1.0 / np.sqrt(2),
-                                                       h.dtype)
-        h = apply_linear(params[f"lin{layer}"], h, compute_dtype, store)
+            # split matmul instead of concat-then-matmul (fp32-reassociation
+            # equal; kills the concat copy and its backward slice)
+            h = apply_linear_parts(params[f"lin{layer}"],
+                                   [h, inputs.astype(h.dtype)],
+                                   compute_dtype, store,
+                                   pre_scale=1.0 / np.sqrt(2))
+        else:
+            h = apply_linear(params[f"lin{layer}"], h, compute_dtype, store)
         if layer < num_layers - 2:
             h = softplus_beta(h, 100.0)
     h = h.astype(jnp.float32)
@@ -276,9 +281,14 @@ def _manual_full_and_gradient(params: Params, cfg: SDFConfig, x: jnp.ndarray):
     pre_acts = []  # hidden-layer pre-activations, in storage dtype
     for layer in range(n_lin):
         if layer in cfg.skip_in:
-            h = jnp.concatenate([h, e.astype(h.dtype)],
-                                axis=-1) * jnp.asarray(inv_sqrt2, h.dtype)
-        z = _dot_store(h, ws[layer], store)
+            # split matmul over [trunk | e] instead of concat-then-matmul
+            trunk = ws[layer].shape[0] - e.shape[-1]
+            s = jnp.asarray(inv_sqrt2, h.dtype)
+            z = (_dot_store(h * s, ws[layer][:trunk], store)
+                 + _dot_store(e.astype(h.dtype) * s, ws[layer][trunk:],
+                              store))
+        else:
+            z = _dot_store(h, ws[layer], store)
         z = z + (bs[layer].astype(z.dtype) if store is not None else bs[layer])
         if layer < n_lin - 1:
             pre_acts.append(z)
@@ -303,15 +313,16 @@ def _manual_full_and_gradient(params: Params, cfg: SDFConfig, x: jnp.ndarray):
     for layer in range(n_lin - 2, -1, -1):
         z = pre_acts[layer]
         gz = g * jax.nn.sigmoid(jnp.asarray(100.0, z.dtype) * z)
-        gx = _dot_store(gz, ws[layer].T, store)
         if layer in cfg.skip_in:
+            # split backward matmuls mirror the split forward: no [N, in]
+            # cotangent buffer to slice apart
             trunk = ws[layer].shape[0] - e.shape[-1]
-            gx = gx * jnp.asarray(inv_sqrt2, gx.dtype)
-            part = gx[:, trunk:]
+            gz = gz * jnp.asarray(inv_sqrt2, gz.dtype)
+            part = _dot_store(gz, ws[layer][trunk:].T, store)
             g_e = part if g_e is None else g_e + part
-            g = gx[:, :trunk]
+            g = _dot_store(gz, ws[layer][:trunk].T, store)
         else:
-            g = gx
+            g = _dot_store(gz, ws[layer].T, store)
     g_e = g if g_e is None else g_e + g.astype(g_e.dtype)
     (grad_x,) = pe_vjp(g_e.astype(e.dtype))
     return full, grad_x

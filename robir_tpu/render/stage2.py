@@ -89,10 +89,13 @@ class Stage2Model:
     """
 
     def __init__(self, params: Params, cfg: Stage2Config,
-                 grid_values: Optional[jnp.ndarray] = None):
+                 grid_values: Optional[jnp.ndarray] = None, mesh=None):
         self.params = params
         self.cfg = cfg
         self.grid_values = grid_values
+        # active device mesh (or None): lets the compaction layer run
+        # per-shard under shard_map instead of a global (cross-device) sort
+        self.mesh = mesh
         # use_neus=False runs the plain IDR pair instead of the NeuS bridge
         # (implicit_differentiable_renderer.py:276-282)
         self.neus = (NeuS(params["implicit_network"], cfg.neus)
@@ -222,7 +225,8 @@ class Stage2Model:
             raise ValueError("tracer='grid' needs baked grid_values — call "
                              "the runner's bake_grid() or pass grid_values "
                              "to Stage2Model")
-        return grid_cast(self.grid_values, self.cfg.grid, origins, dirs)
+        return grid_cast(self.grid_values, self.cfg.grid, origins, dirs,
+                         mesh=self.mesh)
 
 
 SGRenderFn = Callable[..., dict]
@@ -365,23 +369,40 @@ def stage2_forward(model: Stage2Model, key: jax.Array, inp: dict,
     # (implicit_differentiable_renderer.py:396-400).
     render = sg_render_fn or default_sg_render
     k_sg, key = jax.random.split(key)
-    if compact_chunk and n > compact_chunk:
+    from ..core.compact import effective_chunk
+    compact_chunk = effective_chunk(n, compact_chunk, model.mesh)
+    if compact_chunk:
         hs = (hdr_shift if hdr_shift is not None
               else jnp.zeros((n, 1), jnp.float32))
         row_ids = jnp.arange(n, dtype=jnp.int32)
 
-        def row_render(rid, pts, vdirs, isgs, iint, h, smask):
+        # every array dependency rides as an explicit compact_apply const
+        # (params, the step key, array-valued sg_kwargs like the CESR
+        # shadow/normal nets): under a mesh the shard_map region only
+        # admits arrays through in_specs — closures break (compact_apply
+        # docstring). Static kwargs (bools, floats, configs) stay in the
+        # closure as compile-time constants, same as the dense path.
+        def _arrayish(v):
+            leaves = jax.tree_util.tree_leaves(v)
+            return bool(leaves) and all(
+                isinstance(l, (jax.Array, np.ndarray)) for l in leaves)
+
+        arr_kw = {k: v for k, v in sg_kwargs.items() if _arrayish(v)}
+        static_kw = {k: v for k, v in sg_kwargs.items() if k not in arr_kw}
+
+        def row_render(rid, pts, vdirs, isgs, iint, h, smask, C):
             # two RNG streams: the shared k_sg keeps per-LIGHT draws (the
             # diffuse-sweep sample dirs) identical across chunks — exactly
             # the dense computation — while chunk_key (folded on the
             # chunk's first sorted row id, unique per chunk) decorrelates
             # the per-ROW draws (material xi, per-point specular-vis dirs)
             # that would otherwise repeat every chunk and band eval images
-            r = render(model, k_sg, pts, vdirs, isgs, indir_integral=iint,
+            m = Stage2Model(C["params"], model.cfg)
+            r = render(m, C["key"], pts, vdirs, isgs, indir_integral=iint,
                        train_spec=train_spec, lin_diff=lin_diff,
                        hdr_shift=h, surface_mask=smask,
-                       chunk_key=jax.random.fold_in(k_sg, rid[0]),
-                       **sg_kwargs)
+                       chunk_key=jax.random.fold_in(C["key"], rid[0]),
+                       **static_kw, **C["kw"])
             bad = [name for name, v in r.items()
                    if jnp.ndim(v) == 0 or v.shape[0] != pts.shape[0]]
             if bad:
@@ -394,7 +415,8 @@ def stage2_forward(model: Stage2Model, key: jax.Array, inp: dict,
         ret = compact_apply(
             row_render, surface_mask,
             [row_ids, points, -ray_dirs, indirect_sgs, indirect_integral, hs,
-             surface_mask], compact_chunk)
+             surface_mask], compact_chunk, mesh=model.mesh,
+            consts={"params": model.params, "key": k_sg, "kw": arr_kw})
     else:
         ret = render(model, k_sg, points, -ray_dirs, indirect_sgs,
                      indir_integral=indirect_integral, train_spec=train_spec,
@@ -494,11 +516,17 @@ def trace_radiance(model: Stage2Model, key: jax.Array, forward_out: dict,
     o_flat = jnp.broadcast_to(origins[:, None, :], (n, nsamp, 3)).reshape(-1, 3)
     d_flat = sample_dirs.reshape(-1, 3)
     if shard_fan:
-        from jax.sharding import PartitionSpec as _P
+        from jax.sharding import NamedSharding, PartitionSpec as _P
 
         from ..core.mesh import DATA_AXIS as _AX
-        o_flat = jax.lax.with_sharding_constraint(o_flat, _P(_AX))
-        d_flat = jax.lax.with_sharding_constraint(d_flat, _P(_AX))
+        # explicit NamedSharding: a bare PartitionSpec would require an
+        # ambient `with mesh:` context, and the ambient Auto-mesh context
+        # types eagerly-created constants in a way that breaks the manual
+        # (shard_map) compaction region downstream
+        _sh = (NamedSharding(model.mesh, _P(_AX))
+               if model.mesh is not None else _P(_AX))
+        o_flat = jax.lax.with_sharding_constraint(o_flat, _sh)
+        d_flat = jax.lax.with_sharding_constraint(d_flat, _sh)
     sec_t, sec_hit, sec_x = jax.tree_util.tree_map(
         jax.lax.stop_gradient, model.trace(o_flat, d_flat))
 
@@ -510,16 +538,26 @@ def trace_radiance(model: Stage2Model, key: jax.Array, forward_out: dict,
     # zeroed downstream anyway. Exact, and skips ~75% of the fan's FLOPs.
     need = (sec_hit & (~back_cull).reshape(-1)
             & jnp.broadcast_to(points_mask[:, None], (n, nsamp)).reshape(-1))
-    if shard_fan:
-        # the fan is spread over the mesh 'data' axis precisely to keep
-        # this work distributed; the compaction's global sort would
-        # re-gather it (a cross-device all-to-all) and serialize the
-        # chunk scan — mutually exclusive by design
-        compact_chunk = 0
-    if n * nsamp > compact_chunk > 0:
+    from ..core.compact import effective_chunk
+    # Under a mesh the fan is spread over the 'data' axis (explicitly via
+    # shard_fan, or implicitly as the broadcast of the sharded pixel
+    # batch); a GLOBAL compaction sort would re-gather it (a cross-device
+    # all-to-all) and serialize the chunk scan — round 3 therefore pinned
+    # shard_fan + compaction mutually exclusive. The per-shard shard_map
+    # compaction composes: each device sorts and chunk-skips only its own
+    # slice of the fan, so both now run together.
+    compact_chunk = effective_chunk(n * nsamp, compact_chunk, model.mesh)
+    if compact_chunk:
+        # params ride as explicit consts (NOT a closure): under a mesh
+        # every array entering the shard_map region must come through
+        # in_specs — see compact_apply
+        def bc(x, d, p):
+            m = Stage2Model(p, model.cfg)
+            return (m.borrow_color(x, d),)
+
         (color,) = compact_apply(
-            lambda x, d: (model.borrow_color(x, d),), need, [sec_x, -d_flat],
-            chunk=compact_chunk)
+            bc, need, [sec_x, -d_flat],
+            chunk=compact_chunk, mesh=model.mesh, consts=model.params)
     else:
         color = model.borrow_color(sec_x, -d_flat)  # [N*S, 3]
     color = jnp.where(sec_hit[:, None], color, 0.0)

@@ -230,7 +230,7 @@ def cesr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
 
 
 def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
-                   optimizer: optax.GradientTransformation):
+                   optimizer: optax.GradientTransformation, mesh=None):
     import functools
 
     @functools.partial(jax.jit, static_argnames=("prefit", "use_new_normal",
@@ -241,7 +241,7 @@ def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
             params = join_params(tp, frozen)
             model_params = {k: v for k, v in params.items()
                             if k not in ("shadow_net", "normal_net")}
-            model = Stage2Model(model_params, cfg, grid_values)
+            model = Stage2Model(model_params, cfg, grid_values, mesh=mesh)
             n = batch["dirs"].shape[0]
             hdr_shift = jnp.broadcast_to(as_input(params["gamma"]), (n, 1))
             inp = {"points": batch["points"], "dirs": batch["dirs"],
@@ -249,14 +249,20 @@ def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
 
             compact = int(getattr(stage_cfg, "compact_chunk", 0))
             row_mode = 0 < compact < n
+            # static config in the partial; ARRAY deps (shadow/normal nets,
+            # spec_var) go through sg_kwargs so stage2_forward can route
+            # them as explicit compact_apply consts — a closure over them
+            # breaks under the per-shard (shard_map) compaction
             render = functools.partial(
-                cesr_sg_render, shadow_params=params["shadow_net"],
-                normal_params=params["normal_net"], stage_cfg=stage_cfg,
+                cesr_sg_render, stage_cfg=stage_cfg,
                 prefit=prefit, use_new_normal=use_new_normal,
-                spec_var=spec_var, row_outputs=row_mode)
+                row_outputs=row_mode)
             out = stage2_forward(model, key, inp, trainstage="Material",
                                  sg_render_fn=render, train_spec=True,
-                                 compact_chunk=compact if row_mode else 0)
+                                 compact_chunk=compact if row_mode else 0,
+                                 shadow_params=params["shadow_net"],
+                                 normal_params=params["normal_net"],
+                                 spec_var=spec_var)
 
             metrics = {}
             if row_mode:
@@ -353,7 +359,8 @@ class CESRRunner(Stage2RunnerBase):
         self.optimizer = make_adam(stage_cfg.opt)
         self._trainable, self._frozen = split_params(params, self.TRAINABLE)
         self.opt_state = self.optimizer.init(self._trainable)
-        self._step = make_cesr_step(cfg, stage_cfg, self.optimizer)
+        self._step = make_cesr_step(cfg, stage_cfg, self.optimizer,
+                                      mesh=self.mesh)
         self.spec_var = jnp.zeros((cfg.envmap.latent_dim,))
 
     def load_pbr_checkpoint(self, path: str) -> None:
@@ -417,13 +424,15 @@ def cesr_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = Non
                     if k not in ("shadow_net", "normal_net")}
     model = Stage2Model(model_params, runner.cfg, runner.grid_values)
     render = functools.partial(
-        cesr_sg_render, shadow_params=runner.params["shadow_net"],
-        normal_params=runner.params["normal_net"], stage_cfg=sc,
+        cesr_sg_render, stage_cfg=sc,
         prefit=sc.prefit_option(runner.cur_iter),
         use_new_normal=runner.cur_iter > sc.normal_switch_iter,
-        spec_var=runner.spec_var, row_outputs=True)
+        row_outputs=True)
     out = render_view(model, dataset, idx, sg_render_fn=render,
-                      key=runner.next_key(), chunk=chunk)
+                      key=runner.next_key(), chunk=chunk,
+                      shadow_params=runner.params["shadow_net"],
+                      normal_params=runner.params["normal_net"],
+                      spec_var=runner.spec_var)
     plots_dir = plots_dir or os.path.join(runner.log_dir or ".",
                                           runner.stage_name, "plots")
     gt = dataset.rgb_images[idx]

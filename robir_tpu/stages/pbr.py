@@ -106,7 +106,7 @@ def pbr_sg_render(model: Stage2Model, key, points, view_dirs, indir_lgt_sgs,
 
 def make_pbr_step(cfg: Stage2Config, stage_cfg: PBRStageConfig,
                   optimizer: optax.GradientTransformation,
-                  jit: bool = True):
+                  jit: bool = True, mesh=None):
     """One PBR train step. ``jit=False`` returns the raw (traceable)
     function for callers that embed it in a larger jitted program
     (bench.py chains steps inside one lax.scan)."""
@@ -114,7 +114,7 @@ def make_pbr_step(cfg: Stage2Config, stage_cfg: PBRStageConfig,
     def step(trainable, frozen, opt_state, grid_values, batch, key):
         def loss_fn(tp):
             params = join_params(tp, frozen)
-            model = Stage2Model(params, cfg, grid_values)
+            model = Stage2Model(params, cfg, grid_values, mesh=mesh)
             n = batch["dirs"].shape[0]
             hdr_shift = jnp.broadcast_to(as_input(params["gamma"]), (n, 1))
             inp = {"points": batch["points"], "dirs": batch["dirs"],
@@ -173,7 +173,8 @@ class PBRRunner(Stage2RunnerBase):
         self.optimizer = make_adam(stage_cfg.opt)
         self._trainable, self._frozen = split_params(params, self.TRAINABLE)
         self.opt_state = self.optimizer.init(self._trainable)
-        self._step = make_pbr_step(cfg, stage_cfg, self.optimizer)
+        self._step = make_pbr_step(cfg, stage_cfg, self.optimizer,
+                                   mesh=self.mesh)
 
     # -- cross-stage surgery ------------------------------------------------
 

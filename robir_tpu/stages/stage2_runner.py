@@ -138,7 +138,8 @@ class Stage2RunnerBase:
             build_sdf_grid(model.sdf, self.cfg.grid))
 
     def model(self) -> Stage2Model:
-        return Stage2Model(self.params, self.cfg, self.grid_values)
+        return Stage2Model(self.params, self.cfg, self.grid_values,
+                           mesh=self.mesh)
 
     def next_key(self) -> jax.Array:
         self.key, k = jax.random.split(self.key)

@@ -48,7 +48,7 @@ class VisStageConfig:
 
 def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
                   vis_opt: optax.GradientTransformation,
-                  illum_opt: optax.GradientTransformation):
+                  illum_opt: optax.GradientTransformation, mesh=None):
 
     @jax.jit
     def step(vis_params, illum_params, frozen, vis_state, illum_state,
@@ -57,7 +57,7 @@ def make_vis_step(cfg: Stage2Config, stage_cfg: VisStageConfig,
 
         def run_model(vp, ip):
             params = join_params(join_params(vp, ip), frozen)
-            model = Stage2Model(params, cfg, grid_values)
+            model = Stage2Model(params, cfg, grid_values, mesh=mesh)
             inp = {"points": batch["points"], "dirs": batch["dirs"],
                    "object_mask": batch["object_mask"],
                    "hdr_shift": batch["hdr_shift"]}
@@ -142,7 +142,8 @@ class VisRunner(Stage2RunnerBase):
         self._illum, self._frozen = split_params(rest, self.ILLUM_PREFIX)
         self.vis_state = self.vis_opt.init(self._vis)
         self.illum_state = self.illum_opt.init(self._illum)
-        self._step = make_vis_step(cfg, stage_cfg, self.vis_opt, self.illum_opt)
+        self._step = make_vis_step(cfg, stage_cfg, self.vis_opt,
+                                   self.illum_opt, mesh=self.mesh)
 
     def _refresh_after_restore(self) -> None:
         # dual split: restored params must re-partition into vis/illum/frozen

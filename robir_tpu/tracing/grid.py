@@ -310,7 +310,7 @@ def _refine(sdf_fn, cfg: GridConfig, rays_o, rays_d, t, t_prev,
 
 
 def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
-              rays_d: jnp.ndarray):
+              rays_d: jnp.ndarray, mesh=None):
     """Sphere-trace the cached SDF. [N,3],[N,3] -> (t [N], hit [N], x [N,3]).
 
     Equivalent of ``OctreeSDF.cast``/``multi_step_cast``
@@ -321,40 +321,46 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
     with surviving rays — the reference's ``while k.any()`` host
     compaction, rebuilt with sorts instead of boolean indexing. The final
     bisection+Newton refinement runs compacted over hit rays only.
+
+    With ``mesh`` (rays sharded over 'data'), the compaction sorts/scans
+    per shard under shard_map — no cross-device collective.
     """
     valid, t_near, t_far = _ray_bbox(cfg, rays_o, rays_d)
     t0 = t_near + cfg.start_offset
     hit0 = jnp.zeros_like(valid)
 
     sdf_fn = _make_sdf_fn(grid, cfg)
-    do_compact = (0 < cfg.compact_after < cfg.max_steps
-                  and cfg.compact_chunk > 0
-                  and rays_o.shape[0] > cfg.compact_chunk)
+    from ..core.compact import compact_apply, effective_chunk
+    chunk = (effective_chunk(rays_o.shape[0], cfg.compact_chunk, mesh)
+             if 0 < cfg.compact_after < cfg.max_steps else 0)
+    do_compact = chunk > 0
     head = cfg.compact_after if do_compact else cfg.max_steps
     t, t_prev, active, hit = _march(sdf_fn, cfg, head, rays_o, rays_d,
                                     t0, t0, valid, hit0, t_far)
 
     if do_compact:
-        from ..core.compact import compact_apply
-
-        def tail(t, t_prev, active, hit, o, d, tf):
-            tt, tp, _, h = _march(sdf_fn, cfg, cfg.max_steps - head, o, d,
+        # the grid rides as an explicit compact_apply const (NOT a
+        # closure): under a mesh every array entering the shard_map
+        # region must come through in_specs — see compact_apply
+        def tail(t, t_prev, active, hit, o, d, tf, g):
+            tt, tp, _, h = _march(_make_sdf_fn(g, cfg), cfg,
+                                  cfg.max_steps - head, o, d,
                                   t, t_prev, active, hit, tf)
             return tt, tp, h
 
         tt, tp, h = compact_apply(
             tail, active, [t, t_prev, active, hit, rays_o, rays_d, t_far],
-            cfg.compact_chunk)
+            chunk, mesh=mesh, consts=grid)
         t = jnp.where(active, tt, t)
         t_prev = jnp.where(active, tp, t_prev)
         hit = jnp.where(active, h, hit)
 
-        def refine(t, t_prev, h, o, d):
-            return (_refine(sdf_fn, cfg, o, d, t, t_prev, h),)
+        def refine(t, t_prev, h, o, d, g):
+            return (_refine(_make_sdf_fn(g, cfg), cfg, o, d, t, t_prev, h),)
 
         (t_ref,) = compact_apply(
             refine, hit, [t, t_prev, hit, rays_o, rays_d],
-            cfg.compact_chunk)
+            chunk, mesh=mesh, consts=grid)
         t = jnp.where(hit, t_ref, t)
     else:
         t = _refine(sdf_fn, cfg, rays_o, rays_d, t, t_prev, hit)

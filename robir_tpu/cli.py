@@ -475,6 +475,41 @@ def cmd_textures(args):
     print("[textures] wrote", out_dir)
 
 
+def cmd_import_ref(args):
+    """Import reference-trained checkpoints (the torch artifacts the
+    reference pipeline writes) into this framework's npz layout, so a
+    reference scene can be rendered/relit/parity-scored here.
+
+    - ``--stage1_tar {step:06d}.tar`` -> ``<log_dir>/NeuS/ckpt_*.npz``
+      (the tarball the stage-2 bridge reloads, neus_model.py:770-782)
+    - ``--stage2_pth ModelParameters/*.pth --stage CESR`` ->
+      ``<log_dir>/<stage>/checkpoints/latest.npz``, grafted onto a fresh
+      init with the reference's own surgery filters available via
+      ``--filter`` (train_pbr.py:122-203)
+    """
+    from .core import import_ref
+
+    did = False
+    if args.stage1_tar:
+        out_dir = os.path.join(args.log_dir, "NeuS")
+        path = import_ref.import_stage1(args.stage1_tar, out_dir)
+        print(f"[import-ref] stage-1 {args.stage1_tar} -> {path}")
+        did = True
+    if args.stage2_pth:
+        cfg_dict = _load(args)
+        cfg, _, params = _stage2_setup(args, cfg_dict)
+        stage_dir = os.path.join(args.log_dir, args.stage, "checkpoints")
+        os.makedirs(stage_dir, exist_ok=True)
+        out = import_ref.import_stage2(
+            args.stage2_pth, params, os.path.join(stage_dir, "latest.npz"),
+            filter_name=args.filter, ignore_unknown=args.ignore_unknown)
+        print(f"[import-ref] stage-2 {args.stage2_pth} "
+              f"(filter={args.filter}) -> {out}")
+        did = True
+    if not did:
+        raise SystemExit("import-ref: pass --stage1_tar and/or --stage2_pth")
+
+
 def cmd_sgfit(args):
     from .stages import sg_fit
     sg_fit.main(["--envmap_path", args.envmap_path,
@@ -528,6 +563,23 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--resolution", type=int, default=1024)
     p.set_defaults(fn=cmd_textures)
+
+    p = sub.add_parser("import-ref")
+    _add_common(p)
+    p.add_argument("--stage1_tar", type=str, default=None,
+                   help="reference {step:06d}.tar stage-1 checkpoint")
+    p.add_argument("--stage2_pth", type=str, default=None,
+                   help="reference ModelParameters/*.pth stage-2 checkpoint")
+    p.add_argument("--stage", type=str, default="CESR",
+                   choices=["Norm", "Vis", "PBR", "CESR"],
+                   help="which stage directory the stage-2 import lands in")
+    p.add_argument("--filter", type=str, default="all",
+                   choices=["all", "pbr_resume", "norm_only", "illum"],
+                   help="reference surgery filter (train_pbr.py:122-203)")
+    p.add_argument("--ignore_unknown", action="store_true",
+                   help="drop imported paths missing from this config's "
+                        "param tree instead of raising")
+    p.set_defaults(fn=cmd_import_ref)
 
     p = sub.add_parser("sgfit")
     p.add_argument("--envmap_path", type=str, required=True)

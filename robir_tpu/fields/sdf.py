@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .encoding import PEConfig, positional_encoding
-from .mlp import (Params, apply_linear, apply_linear_parts, init_linear,
+from .mlp import (Params, apply_linear, apply_linear_parts,
+                  effective_weight, init_linear,
                   softplus_beta)
 
 
@@ -65,6 +66,13 @@ class SDFConfig:
     # either way; weights and MXU accumulation stay fp32-mastered).
     # PE encoding and the returned outputs remain fp32.
     storage_dtype: str | None = None
+
+    def __post_init__(self):
+        # a typo'd grad_mode would silently fall back to nothing: the
+        # dispatch sites compare against "manual" only
+        if self.grad_mode not in ("vjp", "manual"):
+            raise ValueError(f"grad_mode {self.grad_mode!r} not in "
+                             f"('vjp', 'manual')")
 
     @property
     def store(self):
@@ -260,12 +268,10 @@ def _manual_full_and_gradient(params: Params, cfg: SDFConfig, x: jnp.ndarray):
     ws, bs = [], []
     for layer in range(n_lin):
         p = params[f"lin{layer}"]
-        if "v" in p:
-            v = p["v"]
-            w = v * (p["g"] / (jnp.linalg.norm(v, axis=0) + 0.0))
-        else:
-            w = p["w"]
-        ws.append(w)
+        # the SAME weight-norm fold the forward applies (mlp.py) — any
+        # numerical drift between the two would silently desync the
+        # manual backward from sdf_apply
+        ws.append(effective_weight(p))
         bs.append(p["b"])
 
     def encode(xx):

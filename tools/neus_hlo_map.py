@@ -78,8 +78,6 @@ def main():
     compiled = jax.jit(fn).lower(*args).compile()
     text = compiled.as_text()
     print(f"HLO text: {len(text) / 1e6:.1f} MB")
-    pat = re.compile(r"^\s*(?:ROOT )?%?(" + "|".join(
-        re.escape(o) for o in ops) + r") = ", re.M)
     lines = text.splitlines()
     wanted = set(ops)
     for i, line in enumerate(lines):
@@ -87,7 +85,6 @@ def main():
         if m and m.group(1) in wanted:
             print("=" * 70)
             print(line.strip()[:2000])
-    del pat
 
 
 if __name__ == "__main__":

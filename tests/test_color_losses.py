@@ -9,6 +9,8 @@ from robir_tpu.render import color as col
 from robir_tpu.stages import losses
 from tests.conftest import has_reference
 
+pytestmark = pytest.mark.slow
+
 
 class TestToneMapParity:
     @pytest.mark.skipif(not has_reference(), reason="reference not mounted")

@@ -15,7 +15,11 @@ import pytest
 
 from robir_tpu.core.compact import compact_apply
 from robir_tpu.tracing.grid import (GridConfig, SDFGrid, build_sdf_grid,
+
                                     grid_cast)
+
+
+pytestmark = pytest.mark.slow
 
 
 def _fn(x, v):

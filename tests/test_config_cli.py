@@ -7,8 +7,12 @@ import numpy as np
 import pytest
 
 from robir_tpu.core.config import (apply_overrides, build_neus_config,
+
                                    build_stage2_config, build_stage_config,
                                    config_to_dict, load_config)
+
+
+pytestmark = pytest.mark.slow
 
 
 def test_load_config_with_comments(tmp_path):

@@ -13,7 +13,9 @@ from robir_tpu.fields.neus_model import (NeuSConfig, NeuS, VarianceConfig,
                                          variance_apply)
 from tests.conftest import has_reference
 
-pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+pytestmark = [pytest.mark.skipif(not has_reference(),
+                                 reason="reference not mounted"),
+              pytest.mark.slow]
 
 
 def _torch_linear_to_params(lin, weight_norm: bool):

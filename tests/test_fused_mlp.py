@@ -9,8 +9,12 @@ from robir_tpu.fields.encoding import positional_encoding
 from robir_tpu.fields.neus_model import NeuSConfig, init_neus
 from robir_tpu.fields.sdf import SDFConfig, sdf_apply
 from robir_tpu.render.pallas.fused_mlp import (MLPPlan, _forward_rows,
+
                                                fold_weight_norm, fused_mlp,
                                                plan_from_sdf_config)
+
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

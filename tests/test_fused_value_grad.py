@@ -14,6 +14,8 @@ import pytest
 from robir_tpu.render.pallas.fused_mlp import MLPPlan
 from robir_tpu.render.pallas.fused_value_grad import fused_value_grad
 
+pytestmark = pytest.mark.slow
+
 SQ2 = 1.0 / np.sqrt(2.0)
 
 

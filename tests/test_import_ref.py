@@ -20,8 +20,9 @@ import pytest
 
 from tests.conftest import has_reference
 
-pytestmark = pytest.mark.skipif(not has_reference(),
-                                reason="reference not mounted")
+pytestmark = [pytest.mark.skipif(not has_reference(),
+                                 reason="reference not mounted"),
+              pytest.mark.slow]
 
 
 @pytest.fixture(scope="module")

@@ -6,7 +6,11 @@ import numpy as np
 import pytest
 
 from robir_tpu.data.llff import (LLFFConfig, LLFFScene, convert_to_ndc,
+
                                  recenter_poses, spiral_path)
+
+
+pytestmark = pytest.mark.slow
 
 
 def _make_llff_scene(tmp_path, n=10, h=32, w=40):

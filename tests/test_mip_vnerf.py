@@ -12,6 +12,8 @@ from robir_tpu.render import mip
 from robir_tpu.render.neus import Rays
 from tests.conftest import has_reference
 
+pytestmark = pytest.mark.slow
+
 
 def _rand_rays(n=6, seed=0):
     rng = np.random.default_rng(seed)

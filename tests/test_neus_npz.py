@@ -6,7 +6,11 @@ import numpy as np
 import pytest
 
 from robir_tpu.data.neus_npz import (DTUConfig, DTUSceneDataset, NeuSNpzConfig,
+
                                      NeuSNpzDataset, load_K_Rt_from_P)
+
+
+pytestmark = pytest.mark.slow
 
 
 def _make_scene(tmp_path, n=6, h=40, w=48):

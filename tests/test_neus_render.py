@@ -16,7 +16,7 @@ from robir_tpu.render import neus as rn
 from tests.conftest import has_reference
 from tests.test_fields import _torch_linear_to_params
 
-pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+pytestmark = [pytest.mark.skipif(not has_reference(), reason="reference not mounted"), pytest.mark.slow]
 
 SDF_KW = dict(d_in=3, d_out=65, d_hidden=64, n_layers=4, skip_in=(2,),
               multires=4, bias=0.5, scale=1.0)

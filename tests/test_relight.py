@@ -28,6 +28,8 @@ from robir_tpu.tools.relight import relight_views
 from robir_tpu.tracing.grid import GridConfig, build_sdf_grid
 from robir_tpu.utils.exr import write_exr
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

@@ -10,6 +10,8 @@ import pytest
 from robir_tpu.render import sg
 from tests.conftest import REFERENCE_ROOT, has_reference
 
+pytestmark = pytest.mark.slow
+
 
 def _ref_sg_render():
     """Import the reference sg_render module (CPU-safe functions only)."""

@@ -16,6 +16,8 @@ import pytest
 from robir_tpu import cli
 from robir_tpu.data.synthetic import make_sphere_dataset
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def scene_dir(tmp_path_factory):

@@ -11,7 +11,7 @@ from robir_tpu.fields import visibility as vis
 from robir_tpu.fields.encoding import PEConfig, positional_encoding
 from tests.conftest import has_reference
 
-pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+pytestmark = [pytest.mark.skipif(not has_reference(), reason="reference not mounted"), pytest.mark.slow]
 
 
 def _seq_linears_to_params(seq):

@@ -17,6 +17,8 @@ from robir_tpu.render.stage2 import (Stage2Config, Stage2Model, stage2_forward,
                                      trace_radiance)
 from robir_tpu.tracing.grid import GridConfig, build_sdf_grid
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def model():

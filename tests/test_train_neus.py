@@ -19,6 +19,8 @@ from robir_tpu.fields.sdf import SDFConfig
 from robir_tpu.render.neus import NeusRenderConfig
 from robir_tpu.stages.neus_stage import (NeusTrainConfig, NeusTrainer)
 
+pytestmark = pytest.mark.slow
+
 
 SMALL_MODEL = NeuSConfig(
     sdf=SDFConfig(d_out=65, d_hidden=64, n_layers=4, skip_in=(2,), multires=4),

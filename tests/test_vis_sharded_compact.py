@@ -38,8 +38,9 @@ from robir_tpu.stages.stage2_runner import StageOptConfig, init_stage2_params
 from robir_tpu.stages.vis import VisRunner, VisStageConfig
 from robir_tpu.tracing.grid import GridConfig, grid_cast
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 devices")
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 devices"),
+              pytest.mark.slow]
 
 
 def _count(hlo: str, op: str) -> int:

@@ -57,7 +57,7 @@ def _load() -> ctypes.CDLL:
         lib.atlas_parameterize.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
-            ctypes.c_float, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
         ]
@@ -127,12 +127,17 @@ def rasterize_attributes(uv: np.ndarray, tris: np.ndarray, attrs: np.ndarray,
 
 
 def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
-                       normal_thresh: float = 0.8, padding_px: int = 4,
-                       atlas_res: int = 2048) -> tuple[np.ndarray, np.ndarray, int]:
+                       normal_thresh: float = 0.75, padding_px: int = 4,
+                       atlas_res: int = 2048,
+                       chart_mode: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
     """UV-parameterize a mesh (xatlas equivalent; ref
     model/texture_model.py:14-21).
 
-    Returns (uv [T*3, 2], vert_idx [T*3] into the original vertex array,
+    ``chart_mode`` 0 (default) is greedy seed-normal blob growth;
+    1 clusters faces by dominant normal axis (compact distortion-bounded
+    caps — MEASURED WORSE for packing: round caps do not nest, see
+    tools/atlas_util_bench.py / STATUS.md round-4 notes). Returns
+    (uv [T*3, 2], vert_idx [T*3] into the original vertex array,
     n_charts). Chart boundaries split vertices, like xatlas.
     """
     lib = _load()
@@ -142,7 +147,7 @@ def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
     idx_p = ctypes.POINTER(ctypes.c_int)()
     n_charts = lib.atlas_parameterize(
         _fptr(verts), verts.shape[0], _iptr(tris), tris.shape[0],
-        ctypes.c_float(normal_thresh), padding_px, atlas_res,
+        ctypes.c_float(normal_thresh), padding_px, atlas_res, chart_mode,
         ctypes.byref(uv_p), ctypes.byref(idx_p))
     if n_charts < 0:
         raise RuntimeError("atlas_parameterize failed")

@@ -117,6 +117,10 @@ int marching_tetrahedra(const float* grid, int nx, int ny, int nz,
   };
 
   auto emit = [&](int v0, int v1, int v2) {
+    // collapsed iso-crossings (sdf ~ 0 at a node) repeat an edge vertex;
+    // the zero-area triangle contributes nothing and, left in, fragments
+    // downstream charting (measured: 25% of faces on a trained-SDF mesh)
+    if (v0 == v1 || v1 == v2 || v0 == v2) return;
     // orient so the triangle normal points along +grad(sdf) (outward)
     const float* a = &verts[3 * v0];
     const float* b = &verts[3 * v1];
@@ -261,7 +265,10 @@ int rasterize_attributes(const float* uv, const int* tris, int n_tris,
 
 namespace {
 
-static void face_normal(const float* verts, const int* tri, float* n) {
+// returns twice the face area (cross-product norm); callers treat ~0 as
+// degenerate (distinct indices, coincident positions — the atlas must not
+// let their garbage normals seed single-face charts)
+static float face_normal(const float* verts, const int* tri, float* n) {
   const float* a = verts + 3 * tri[0];
   const float* b = verts + 3 * tri[1];
   const float* c = verts + 3 * tri[2];
@@ -270,10 +277,12 @@ static void face_normal(const float* verts, const int* tri, float* n) {
   n[0] = u[1] * w[2] - u[2] * w[1];
   n[1] = u[2] * w[0] - u[0] * w[2];
   n[2] = u[0] * w[1] - u[1] * w[0];
-  float len = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]) + 1e-20f;
-  n[0] /= len;
-  n[1] /= len;
-  n[2] /= len;
+  float len = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+  float inv = 1.f / (len + 1e-20f);
+  n[0] *= inv;
+  n[1] *= inv;
+  n[2] *= inv;
+  return len;
 }
 
 }  // namespace
@@ -306,7 +315,35 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
   }
 
   std::vector<float> normals(3 * n_tris);
-  for (int t = 0; t < n_tris; t++) face_normal(verts, tris + 3 * t, &normals[3 * t]);
+  std::vector<uint8_t> degen(n_tris);
+  std::vector<float> fareas(n_tris);
+  for (int t = 0; t < n_tris; t++) {
+    fareas[t] = face_normal(verts, tris + 3 * t, &normals[3 * t]);
+    degen[t] = fareas[t] < 1e-12f;
+  }
+  // Smooth the charting normals: trained-SDF marching-tets surfaces carry
+  // ~plus-or-minus 25 deg face-to-face normal noise (measured p5 dot 0.71
+  // against the analytic normal on a 300-step surface), which fragments
+  // threshold growth into thousands of tiny charts. Two rounds of
+  // area-weighted neighbor averaging kill the noise; true creases survive
+  // (they are supported by many coherent faces on each side).
+  for (int it = 0; it < 2; it++) {
+    std::vector<float> sm(3 * n_tris, 0.f);
+    for (int t = 0; t < n_tris; t++) {
+      for (int k = 0; k < 3; k++) sm[3 * t + k] = normals[3 * t + k] * fareas[t];
+      for (int e = 0; e < 3; e++) {
+        auto& nb = edge_faces[ekey(tris[3 * t + e], tris[3 * t + (e + 1) % 3])];
+        for (int g : nb) {
+          if (g == t) continue;
+          for (int k = 0; k < 3; k++) sm[3 * t + k] += normals[3 * g + k] * fareas[g];
+        }
+      }
+      float l = std::sqrt(sm[3 * t] * sm[3 * t] + sm[3 * t + 1] * sm[3 * t + 1] +
+                          sm[3 * t + 2] * sm[3 * t + 2]) + 1e-20f;
+      for (int k = 0; k < 3; k++) sm[3 * t + k] /= l;
+    }
+    normals.swap(sm);
+  }
 
   std::vector<int> chart(n_tris, -1);
   int n_charts = 0;
@@ -324,7 +361,7 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
       label[t] = best;
     }
     for (int seed = 0; seed < n_tris; seed++) {
-      if (chart[seed] >= 0) continue;
+      if (chart[seed] >= 0 || degen[seed]) continue;
       int id = n_charts++;
       std::queue<int> q;
       q.push(seed);
@@ -335,7 +372,8 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
         for (int e = 0; e < 3; e++) {
           auto& nb = edge_faces[ekey(tris[3 * f + e], tris[3 * f + (e + 1) % 3])];
           for (int g : nb) {
-            if (chart[g] >= 0 || label[g] != label[seed]) continue;
+            if (chart[g] >= 0 || (!degen[g] && label[g] != label[seed]))
+              continue;
             chart[g] = id;
             q.push(g);
           }
@@ -343,11 +381,20 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
       }
     }
   } else {
-    // greedy chart growing (seed-normal threshold)
+    // greedy chart growing against the AREA-WEIGHTED RUNNING MEAN chart
+    // normal (not the fixed seed normal): trained-SDF marching-tets
+    // meshes carry per-face normal noise and slivers that fragment
+    // fixed-seed growth into thousands of ~15-face charts (measured:
+    // 8.7k charts on a 173k-tri trained mesh); the running mean averages
+    // the noise away while the threshold still stops at true creases.
+    // Degenerate faces never seed and always join a neighboring chart.
+    const std::vector<float>& areas = fareas;
     for (int seed = 0; seed < n_tris; seed++) {
-      if (chart[seed] >= 0) continue;
+      if (chart[seed] >= 0 || degen[seed]) continue;
       int id = n_charts++;
-      float cn[3] = {normals[3 * seed], normals[3 * seed + 1], normals[3 * seed + 2]};
+      float cn[3] = {normals[3 * seed] * areas[seed],
+                     normals[3 * seed + 1] * areas[seed],
+                     normals[3 * seed + 2] * areas[seed]};
       std::queue<int> q;
       q.push(seed);
       chart[seed] = id;
@@ -358,16 +405,44 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
           auto& nb = edge_faces[ekey(tris[3 * f + e], tris[3 * f + (e + 1) % 3])];
           for (int g : nb) {
             if (chart[g] >= 0) continue;
-            float d = cn[0] * normals[3 * g] + cn[1] * normals[3 * g + 1] +
-                      cn[2] * normals[3 * g + 2];
-            if (d > normal_thresh) {
+            float cl = std::sqrt(cn[0] * cn[0] + cn[1] * cn[1] +
+                                 cn[2] * cn[2]) + 1e-20f;
+            float d = (cn[0] * normals[3 * g] + cn[1] * normals[3 * g + 1] +
+                       cn[2] * normals[3 * g + 2]) / cl;
+            if (degen[g] || d > normal_thresh) {
               chart[g] = id;
+              cn[0] += normals[3 * g] * areas[g];
+              cn[1] += normals[3 * g + 1] * areas[g];
+              cn[2] += normals[3 * g + 2] * areas[g];
               q.push(g);
             }
           }
         }
       }
     }
+  }
+  // sweep unassigned faces (degenerates not reached by any grown chart —
+  // including all-degenerate islands) onto an adjacent chart, else a
+  // catch-all chart of their own
+  {
+    bool changed = true;
+    while (changed) {
+      changed = false;
+      for (int t = 0; t < n_tris; t++) {
+        if (chart[t] >= 0) continue;
+        for (int e = 0; e < 3 && chart[t] < 0; e++) {
+          auto& nb = edge_faces[ekey(tris[3 * t + e], tris[3 * t + (e + 1) % 3])];
+          for (int g : nb)
+            if (chart[g] >= 0) { chart[t] = chart[g]; changed = true; break; }
+        }
+      }
+    }
+    int misc = -1;
+    for (int t = 0; t < n_tris; t++)
+      if (chart[t] < 0) {
+        if (misc < 0) misc = n_charts++;
+        chart[t] = misc;
+      }
   }
 
   // per-chart planar projection

@@ -127,19 +127,40 @@ def rasterize_attributes(uv: np.ndarray, tris: np.ndarray, attrs: np.ndarray,
 
 
 def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
-                       normal_thresh: float = 0.75, padding_px: int = 4,
+                       normal_thresh: float | None = None,
+                       padding_px: int = 4,
                        atlas_res: int = 2048,
                        chart_mode: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
     """UV-parameterize a mesh (xatlas equivalent; ref
     model/texture_model.py:14-21).
 
-    ``chart_mode`` 0 (default) is greedy seed-normal blob growth;
-    1 clusters faces by dominant normal axis (compact distortion-bounded
-    caps — MEASURED WORSE for packing: round caps do not nest, see
-    tools/atlas_util_bench.py / STATUS.md round-4 notes). Returns
-    (uv [T*3, 2], vert_idx [T*3] into the original vertex array,
-    n_charts). Chart boundaries split vertices, like xatlas.
+    ``normal_thresh`` None (default) tries {0.65, 0.75} and keeps the
+    parameterization with the higher triangle-area utilization — the
+    packing outcome is noisy in the chart granularity and neither value
+    dominates across meshes (tools/atlas_util_bench.py sweep). The atlas
+    is a cached bake-time op, so the double run costs seconds once.
+
+    ``chart_mode`` 0 (default) grows charts against the area-weighted
+    running-mean normal over smoothed face normals; 1 clusters faces by
+    dominant normal axis (compact distortion-bounded caps — MEASURED
+    WORSE for packing: round caps do not nest, see STATUS.md round-4
+    notes). Returns (uv [T*3, 2], vert_idx [T*3] into the original
+    vertex array, n_charts). Chart boundaries split vertices, like
+    xatlas.
     """
+    if normal_thresh is None:
+        best = None
+        for th in (0.65, 0.75):
+            uv, idx, nc = atlas_parameterize(verts, tris, th, padding_px,
+                                             atlas_res, chart_mode)
+            tri_uv = uv.reshape(-1, 3, 2)
+            e1 = tri_uv[:, 1] - tri_uv[:, 0]
+            e2 = tri_uv[:, 2] - tri_uv[:, 0]
+            util = float(np.abs(e1[:, 0] * e2[:, 1]
+                                - e1[:, 1] * e2[:, 0]).sum() * 0.5)
+            if best is None or util > best[0]:
+                best = (util, uv, idx, nc)
+        return best[1], best[2], best[3]
     lib = _load()
     verts = np.ascontiguousarray(verts, np.float32)
     tris = np.ascontiguousarray(tris, np.int32)

@@ -43,56 +43,70 @@ REPS = 6
 
 
 def main():
-    if os.environ.get("ROBIR_BENCH_STAGE", "neus") == "pbr":
+    stage = os.environ.get("ROBIR_BENCH_STAGE", "neus")
+    if stage == "pbr":
         return main_pbr()
+    if stage == "extra":
+        return main_extra()
     return main_neus()
 
 
-def main_pbr():
-    """Secondary metric: PBR-stage training throughput at reference scale
-    (1024 px/iter, 128 light SGs; hotdog.conf:9,94-108). Select with
-    ROBIR_BENCH_STAGE=pbr."""
+def _stage2_setup_bench():
+    """Reference-scale stage-2 model + baked grid shared by the PBR/Vis/
+    eval metrics (bf16 sweep trunk, the shipped hotdog.json config)."""
     import dataclasses
 
     import jax
-    import jax.numpy as jnp
 
     from robir_tpu.render.stage2 import Stage2Config, Stage2Model
-    from robir_tpu.stages.pbr import PBRStageConfig, make_pbr_step
-    from robir_tpu.stages.stage2_runner import (StageOptConfig,
-                                                init_stage2_params, make_adam,
-                                                split_params)
+    from robir_tpu.stages.stage2_runner import init_stage2_params
     from robir_tpu.tracing.grid import build_sdf_grid
 
-    # shipped stage-2 config: bf16 activation storage on the visibility
-    # sweep trunk (configs/hotdog.json; losses match fp32 to 4 decimals)
     cfg = Stage2Config()
     cfg = dataclasses.replace(
         cfg, visnet=dataclasses.replace(cfg.visnet,
                                         storage_dtype="bfloat16"))
+    if os.environ.get("ROBIR_BENCH_SMOKE"):
+        cfg = dataclasses.replace(
+            cfg, grid=dataclasses.replace(cfg.grid, resolution=48))
     params = init_stage2_params(jax.random.PRNGKey(0), cfg)
     grid = build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid)
+    return cfg, params, grid
 
-    n = 1024
-    rng = np.random.default_rng(0)
+
+def _pbr_batch(n, surface_frac=1.0, seed=0):
+    """Pixel batch with ~surface_frac of rays hitting the init sphere
+    (|x|=0.5 stage-2): hit rays aim at the center from radius 0.55; miss
+    rays aim outward (the realistic-coverage workload the compaction is
+    for)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
     o = rng.standard_normal((n, 3)).astype(np.float32)
     o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 0.55
-    batch = {"points": jnp.asarray(o), "dirs": jnp.asarray(-o / 0.55),
-             "object_mask": jnp.ones((n,), bool),
-             "rgb": jnp.full((n, 3), 0.5)}
+    d = -o / 0.55
+    miss = rng.random(n) >= surface_frac
+    d[miss] = -d[miss]
+    return {"points": jnp.asarray(o), "dirs": jnp.asarray(d),
+            "object_mask": jnp.ones((n,), bool),
+            "rgb": jnp.full((n, 3), 0.5)}
+
+
+def _measure_pbr(cfg, params, grid, batch, compact_chunk, n,
+                 k_steps=8, reps=4):
+    import jax
+
+    from robir_tpu.stages.pbr import PBRStageConfig, make_pbr_step
+    from robir_tpu.stages.stage2_runner import (StageOptConfig, make_adam,
+                                                split_params)
 
     opt = make_adam(StageOptConfig(lr=5e-4))
     trainable, frozen = split_params(params, ("gamma",
                                               "envmap_material_network"))
     opt_state = opt.init(trainable)
-    # compact_chunk=0: this workload is ALL-HIT (every ray on-surface), so
-    # surface-pixel compaction can only add overhead — keep the metric
-    # comparable across rounds. Compaction wins on realistic camera
-    # batches are measured separately (tools/pbr_compact_bench.py:
-    # 1.5x at 20% coverage, 1.86x at 5%).
-    step = make_pbr_step(cfg, PBRStageConfig(num_pixels=n, compact_chunk=0),
+    step = make_pbr_step(cfg, PBRStageConfig(num_pixels=n,
+                                             compact_chunk=compact_chunk),
                          opt, jit=False)
-    k_steps = 8
 
     def multi(trainable, opt_state, key):
         def body(c, k):
@@ -108,11 +122,28 @@ def main_pbr():
     jax.block_until_ready(out)
     float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
     best = float("inf")
-    for rep in range(4):
+    for rep in range(reps):
         t0 = time.perf_counter()
         out = f(trainable, opt_state, jax.random.PRNGKey(rep + 1))
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         best = min(best, (time.perf_counter() - t0) / k_steps)
+    return best
+
+
+def main_pbr():
+    """Secondary metric: PBR-stage training throughput at reference scale
+    (1024 px/iter, 128 light SGs; hotdog.conf:9,94-108). Select with
+    ROBIR_BENCH_STAGE=pbr.
+
+    compact_chunk=0: this workload is ALL-HIT (every ray on-surface), so
+    surface-pixel compaction can only add overhead — keep the metric
+    comparable across rounds. Compaction wins on realistic camera batches
+    are in BENCH_extra.json (ROBIR_BENCH_STAGE=extra)."""
+    import jax
+
+    cfg, params, grid = _stage2_setup_bench()
+    n = 1024
+    best = _measure_pbr(cfg, params, grid, _pbr_batch(n), 0, n)
     per_chip = n / best / len(jax.devices())
     print(json.dumps({
         "metric": "pbr_train_pixels_per_sec_per_chip",
@@ -120,6 +151,100 @@ def main_pbr():
         "unit": "px/s/chip",
         "vs_baseline": round(per_chip / REFERENCE_PBR_PX_PER_SEC, 3),
     }))
+
+
+def main_extra():
+    """Multi-metric record (VERDICT r3 weak #4): PBR px/s all-hit + at
+    realistic 20% surface coverage (compacted), the Vis-stage step time at
+    reference constants, and the forward-only eval-render px/s (the
+    relight path, surface-pixel compaction ON). Writes BENCH_extra.json
+    next to this file and prints it as the JSON line."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    smoke = bool(os.environ.get("ROBIR_BENCH_SMOKE"))
+    cfg, params, grid = _stage2_setup_bench()
+    n_chips = len(jax.devices())
+    extra = {}
+
+    # 1+2: PBR train px/s, all-hit (dense) and 20%-surface (compacted)
+    n = 256 if smoke else 1024
+    best = _measure_pbr(cfg, params, grid, _pbr_batch(n), 0, n,
+                        k_steps=2 if smoke else 8, reps=2 if smoke else 4)
+    extra["pbr_train_px_per_sec_allhit_dense"] = round(n / best / n_chips, 1)
+    best = _measure_pbr(cfg, params, grid,
+                        _pbr_batch(n, surface_frac=0.2), 128, n,
+                        k_steps=2 if smoke else 8, reps=2 if smoke else 4)
+    extra["pbr_train_px_per_sec_20pct_compacted"] = round(
+        n / best / n_chips, 1)
+
+    # 3: Vis step at reference constants (256 px x 512 dirs)
+    from robir_tpu.stages.stage2_runner import (StageOptConfig, make_adam,
+                                                split_params)
+    from robir_tpu.stages.vis import VisStageConfig, make_vis_step
+
+    npx, nsamp = (64, 32) if smoke else (256, 512)
+    vcfg = VisStageConfig(num_pixels=npx, nsamp=nsamp,
+                          opt=StageOptConfig(lr=5e-4))
+    vis_opt, illum_opt = make_adam(vcfg.opt), make_adam(vcfg.opt)
+    vis_p, rest = split_params(params, ("visibility_network",))
+    illum_p, frozen = split_params(rest, ("indirect_illum_network",))
+    vstate, istate = vis_opt.init(vis_p), illum_opt.init(illum_p)
+    step = make_vis_step(cfg, vcfg, vis_opt, illum_opt)
+    b = _pbr_batch(npx, surface_frac=0.35, seed=2)
+    batch = {"points": b["points"], "dirs": b["dirs"],
+             "object_mask": b["object_mask"],
+             "hdr_shift": jnp.full((npx, 1), 0.5)}
+    out = step(vis_p, illum_p, frozen, vstate, istate, grid, batch,
+               jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    best = float("inf")
+    for rep in range(2 if smoke else 5):
+        t0 = time.perf_counter()
+        out = step(vis_p, illum_p, frozen, vstate, istate, grid, batch,
+                   jax.random.PRNGKey(rep + 1))
+        float(np.asarray(out[-1]["visibility_loss"]))
+        best = min(best, time.perf_counter() - t0)
+    extra["vis_step_ms"] = round(best * 1e3, 1)
+    extra["vis_step_px"] = npx
+    extra["vis_step_nsamp"] = nsamp
+
+    # 4: eval-render px/s (forward-only, compaction ON — the relight path);
+    # a realistic whole-frame chunk is mostly empty (object ~1/3 of rays)
+    from robir_tpu.render.stage2 import Stage2Model, stage2_forward
+    from robir_tpu.render.color import hdr2ldr
+
+    ne = 1024 if smoke else 8192
+    be = _pbr_batch(ne, surface_frac=0.33, seed=3)
+    model = Stage2Model(params, cfg, grid)
+
+    @jax.jit
+    def render_chunk(k):
+        inp = {"points": be["points"], "dirs": be["dirs"],
+               "hdr_shift": jnp.full((ne, 1), 0.5)}
+        o = stage2_forward(model, k, inp, trainstage="Material",
+                           compact_chunk=512)
+        return hdr2ldr(model.params["gamma"], cfg.tonemap,
+                       o["sg_rgb"] + o["indir_rgb"])
+
+    out = render_chunk(jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    best = float("inf")
+    for rep in range(2 if smoke else 5):
+        t0 = time.perf_counter()
+        float(np.asarray(render_chunk(jax.random.PRNGKey(rep)))[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    extra["eval_render_px_per_sec"] = round(ne / best / n_chips, 1)
+
+    extra["smoke"] = smoke
+    extra["n_chips"] = n_chips
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_extra.json")
+    with open(path, "w") as fp:
+        json.dump(extra, fp, indent=1)
+    print(json.dumps(extra))
 
 
 def main_neus():
@@ -224,6 +349,19 @@ def _run_with_retries(max_tries: int = 5, timeout_s: int = 900,
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if proc.returncode == 0 and lines:
             print(lines[-1], flush=True)
+            # secondary multi-metric record (BENCH_extra.json): best-effort,
+            # after the headline is safely out — a tunnel stall here must
+            # not cost the round its benchmark line
+            if not os.environ.get("ROBIR_BENCH_STAGE") and \
+                    not os.environ.get("ROBIR_BENCH_NO_EXTRA"):
+                try:
+                    subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        capture_output=True, text=True, timeout=1800,
+                        env=dict(env, ROBIR_BENCH_STAGE="extra"))
+                except Exception as e:  # noqa: BLE001
+                    print(f"extra metrics skipped: {e}", file=sys.stderr,
+                          flush=True)
             return 0
         last_err = (f"attempt {attempt + 1}: rc={proc.returncode} "
                     f"stderr tail: {proc.stderr[-500:]}")

@@ -123,13 +123,33 @@ def sphere_scene(tmp_dir: str, **kwargs) -> BlenderScene:
     return BlenderScene(BlenderConfig(dataset_dir=tmp_dir), "train")
 
 
+def textured_albedo(p: np.ndarray) -> np.ndarray:
+    """Spatially-varying GT albedo for the main sphere: a smooth two-color
+    sinusoidal weave in WORLD coordinates, [N, 3] -> [N, 3] in (0, 1).
+
+    Bandwidth chosen recoverable by the spec-BRDF autoencoder in a few
+    thousand steps (a hard checker's discontinuities are not) while still
+    varying ~3 full periods across the 0.5-radius sphere — enough that a
+    constant-albedo fit scores badly, which is the point of the quality
+    gate (VERDICT r3 missing #4: the AE machinery was never scored against
+    ground-truth *variation*)."""
+    a = np.asarray([0.8, 0.3, 0.2], np.float32)
+    b = np.asarray([0.2, 0.5, 0.8], np.float32)
+    w = 0.5 * (1.0 + np.sin(9.0 * p[..., 0]) * np.cos(9.0 * p[..., 1]))
+    w = w.astype(np.float32)[..., None]
+    return a * w + b * (1.0 - w)
+
+
 def render_two_sphere_gt(c2w: np.ndarray, h: int, w: int, focal: float,
                          centers=((0.0, 0.0, 0.0), (0.37, 0.22, 0.61)),
                          radii=(0.5, 0.18),
                          albedos=((0.8, 0.3, 0.2), (0.25, 0.45, 0.8)),
                          light_dir=(0.5, 0.3, 0.8)) -> np.ndarray:
     """Two lambertian spheres with hard cast shadows — ground truth for the
-    shadow-removal (Vis/CESR) stages. Returns RGBA [h, w, 4]."""
+    shadow-removal (Vis/CESR) stages. Returns RGBA [h, w, 4].
+
+    An ``albedos`` entry may be a callable ``[N, 3] world points ->
+    [N, 3]`` for spatially-varying reflectance (``textured_albedo``)."""
     x, y = np.meshgrid(np.arange(w, dtype=np.float32),
                        np.arange(h, dtype=np.float32), indexing="xy")
     dirs = np.stack([(x - w * 0.5 + 0.5) / focal,
@@ -177,7 +197,9 @@ def render_two_sphere_gt(c2w: np.ndarray, h: int, w: int, focal: float,
             shadow |= sh
         lam = np.clip(n @ ld, 0.0, 1.0)
         lam = np.where(shadow, 0.0, lam)
-        rgb = (lam[:, None] * 0.8 + 0.2) * np.asarray(albedos[si], np.float32)
+        alb = (albedos[si](p) if callable(albedos[si])
+               else np.asarray(albedos[si], np.float32))
+        rgb = (lam[:, None] * 0.8 + 0.2) * alb
         out_idx = np.where(sel)[0]
         out[out_idx, :3] = rgb
         out[out_idx, 3] = 1.0
@@ -187,10 +209,15 @@ def render_two_sphere_gt(c2w: np.ndarray, h: int, w: int, focal: float,
 def make_shadow_dataset(out_dir: str, n_train: int = 20, n_test: int = 3,
                         h: int = 128, w: int = 128,
                         camera_angle_x: float = 0.6911112070083618,
-                        cam_dist: float = 3.2, seed: int = 0) -> str:
-    """Blender-format two-sphere scene with cast shadows."""
+                        cam_dist: float = 3.2, seed: int = 0,
+                        textured: bool = False) -> str:
+    """Blender-format two-sphere scene with cast shadows. ``textured``
+    gives the main sphere the spatially-varying ``textured_albedo``
+    (the BRDF-recovery quality gate's scene)."""
     from PIL import Image
 
+    albedos = ((textured_albedo if textured else (0.8, 0.3, 0.2)),
+               (0.25, 0.45, 0.8))
     focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
     rng = np.random.default_rng(seed)
     for split, n in (("train", n_train), ("test", n_test), ("val", 2)):
@@ -204,7 +231,7 @@ def make_shadow_dataset(out_dir: str, n_train: int = 20, n_test: int = 3,
                 np.sin(theta) * np.cos(phi),
                 np.sin(phi)], np.float32)
             c2w = look_at(eye, np.array([0.2, 0.1, 0.35], np.float32))
-            img = render_two_sphere_gt(c2w, h, w, focal)
+            img = render_two_sphere_gt(c2w, h, w, focal, albedos=albedos)
             name = f"{split}/r_{i}"
             Image.fromarray((img * 255).astype(np.uint8), "RGBA").save(
                 os.path.join(out_dir, name + ".png"))
@@ -213,7 +240,8 @@ def make_shadow_dataset(out_dir: str, n_train: int = 20, n_test: int = 3,
                     os.path.join(out_dir, name + "_rgba.png"))
                 os.makedirs(os.path.join(out_dir, "test_rli"), exist_ok=True)
                 for env, ld in RELIT_LIGHT_DIRS.items():
-                    rel = render_two_sphere_gt(c2w, h, w, focal, light_dir=ld)
+                    rel = render_two_sphere_gt(c2w, h, w, focal,
+                                               albedos=albedos, light_dir=ld)
                     Image.fromarray(
                         (rel[..., :3] * 255).astype(np.uint8), "RGB").save(
                         os.path.join(out_dir, "test_rli",

@@ -33,6 +33,9 @@ def test_fast_pipeline_end_to_end(tmp_path):
     metrics = json.load(open(os.path.join(out, "pipeline_metrics.json")))
     for key in ("neus_test", "mesh_err_median", "vis_mean_at_lit_front",
                 "albedo_shadow_lit_ratio_cesr", "albedo_chroma_cos_cesr",
-                "relight"):
+                "albedo_psnr_cesr", "albedo_map_psnr_cesr", "relight"):
         assert key in metrics, key
     assert "mean_relit_psnr_masked" in metrics["relight"]
+    # quality gates checked and green (the pipeline exits 1 on a gate
+    # failure, so returncode==0 above is itself the regression gate)
+    assert metrics["gates"]["checked"] and not metrics["gates"]["failures"]

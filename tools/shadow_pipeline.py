@@ -155,10 +155,64 @@ def make_relight_envmap(env_dir: str) -> str:
     return path
 
 
+
+
+# Quality gates (VERDICT r3 weak point 1: metric drift across rounds never
+# failed anything). Full-schedule thresholds come from the measured
+# round-2/3/4 TPU runs recorded in STATUS.md; fast-mode thresholds are
+# deliberately loose sanity floors (the few-hundred-step CPU smoke cannot
+# hit the trained numbers and must not flake CI).
+GATES_FULL = {
+    "vis_mean_at_lit_front": (">=", 0.95),
+    "albedo_shadow_lit_ratio_cesr": ("range", (0.90, 1.15)),
+    "relit_psnr_masked": (">=", 18.5),
+    "albedo_psnr_cesr": (">=", 14.0),      # textured recovery, scale-fitted
+    "mesh_err_median": ("<=", 0.03),
+}
+# Fast-mode calibration (measured this round on the CPU mesh): the vis
+# net at 60-800 iters scores lit-confidence 0.19 / 0.26 / 0.37 — only the
+# full schedule separates lit from occluded — so fast gates the metric as
+# an emission/finite sanity floor, not a discrimination bar. Albedo PSNR
+# measured 17.0-17.4, relit PSNR 9.8-10.1, mesh err 0.075 across runs.
+GATES_FAST = {
+    "vis_mean_at_lit_front": (">=", 0.10),
+    "albedo_shadow_lit_ratio_cesr": ("range", (0.4, 2.5)),
+    "relit_psnr_masked": (">=", 8.0),
+    "albedo_psnr_cesr": (">=", 12.0),
+    "mesh_err_median": ("<=", 0.10),
+}
+
+
+def check_gates(metrics: dict, fast: bool) -> list[str]:
+    """Returns failure strings (empty = all gates pass)."""
+    gates = GATES_FAST if fast else GATES_FULL
+    vals = dict(metrics)
+    rel = metrics.get("relight") or {}
+    if "mean_relit_psnr_masked" in rel:
+        vals["relit_psnr_masked"] = rel["mean_relit_psnr_masked"]
+    failures = []
+    for key, (op, bound) in gates.items():
+        v = vals.get(key)
+        if v is None:
+            failures.append(f"{key}: missing")
+            continue
+        ok = (v >= bound if op == ">=" else
+              v <= bound if op == "<=" else
+              bound[0] <= v <= bound[1])
+        if not ok:
+            failures.append(f"{key}: {v:.4g} violates {op} {bound}")
+    return failures
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/shadow_pipeline")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--plain", action="store_true",
+                    help="constant albedo (round-2/3 scene); default is the "
+                         "spatially-varying textured_albedo main sphere")
+    ap.add_argument("--no_gates", action="store_true",
+                    help="emit metrics without asserting the quality gates")
     ap.add_argument("--vis_iters", type=int, default=None)
     ap.add_argument("--pbr_iters", type=int, default=None)
     ap.add_argument("--cesr_iters", type=int, default=None)
@@ -179,16 +233,18 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     scene = os.path.join(args.out, "scene")
     logs = os.path.join(args.out, "logs")
+    textured = not args.plain
     if not os.path.exists(os.path.join(scene, "transforms_train.json")):
         sz = 64 if args.fast else 96
-        make_shadow_dataset(scene, n_train=16, n_test=2, h=sz, w=sz)
+        make_shadow_dataset(scene, n_train=16, n_test=2, h=sz, w=sz,
+                            textured=textured)
 
     conf = conf_dict(args.fast)
     conf_path = os.path.join(args.out, "conf.json")
     with open(conf_path, "w") as fp:
         json.dump(conf, fp, indent=1)
 
-    metrics = {"fast": args.fast}
+    metrics = {"fast": args.fast, "textured": textured}
 
     def stage(name, argv):
         t0 = time.time()
@@ -208,12 +264,14 @@ def main():
     if os.path.exists(desc):
         metrics["neus_test"] = json.load(open(desc))
 
-    # mesh in STAGE-2 coords (world / pose_scale) for the texture pipeline
-    # (the stage-2 bridge queries the stage-1 field at x * coord_scale)
+    # mesh in STAGE-1 (world) coords: TexSampler applies its own x0.5
+    # (stage-1 -> stage-2) when sampling, exactly like the test fixtures —
+    # rounds 2-3 saved a stage-2 mesh here, which silently halved every
+    # Norm-stage sample position (the normal decoder trained at world/4)
     from robir_tpu.core import checkpoint as ckpt_lib
     from robir_tpu.core.config import build_stage1_configs
     from robir_tpu.fields.neus_model import NeuS, init_neus
-    from robir_tpu.texture.mesh import Mesh, extract_mesh
+    from robir_tpu.texture.mesh import extract_mesh
 
     t0 = time.time()
     _, _, s1_cfg, _ = build_stage1_configs(conf)
@@ -228,8 +286,7 @@ def main():
                               bbox_min=(-0.95,) * 3, bbox_max=(0.95,) * 3)
     scale = conf["dataset"]["pose_scale"]
     mesh_path = os.path.join(args.out, "mesh.ply")
-    Mesh(np.asarray(world_mesh.verts) / scale,
-         np.asarray(world_mesh.tris)).export_ply(mesh_path)
+    world_mesh.export_ply(mesh_path)
     metrics["mesh_seconds"] = round(time.time() - t0, 1)
 
     # mesh surface error vs analytic spheres (world coords)
@@ -274,8 +331,22 @@ def main():
     # -- albedo shadow/lit ratio (PBR, then CESR) ---------------------------
     from robir_tpu.render.stage2 import Stage2Model
 
+    from robir_tpu.data.synthetic import textured_albedo
+
+    def gt_albedo(pts_world):
+        if textured:
+            return textured_albedo(pts_world)
+        return np.broadcast_to(ALBEDO0, pts_world.shape).astype(np.float32)
+
     def albedo_metrics(ckpt_path):
-        """(shadow/lit ratio, chromaticity cosine vs GT albedo)."""
+        """(shadow/lit ratio, chroma cosine, scale-invariant albedo PSNR).
+
+        The ratio divides out the GT pattern first (pred/gt per point), so
+        on the textured scene it still isolates shadow baking; on the
+        constant scene it reduces to the round-2/3 metric. The PSNR fits
+        one global scalar (inverse rendering recovers reflectance up to a
+        light-intensity scale) and scores the spatial RECOVERY — the gate
+        VERDICT r3 missing #4 asks for."""
         p, _ = ckpt_lib.restore_into(
             init_stage2_params(jax.random.PRNGKey(0), cfg2), ckpt_path,
             ignore_unknown=True)
@@ -289,24 +360,70 @@ def main():
         sel_lit = ~shadow & lit_side
         mat = model.material(jnp.asarray(pts_all / scale, jnp.float32))
         alb = np.asarray(mat.diffuse_albedo)
+        gt = gt_albedo(pts_all)
         mean_lit = alb[sel_lit].mean(0)
-        chroma = float(mean_lit @ ALBEDO0 / (np.linalg.norm(mean_lit)
-                                             * np.linalg.norm(ALBEDO0)))
+        gt_lit = gt[sel_lit].mean(0)
+        chroma = float(mean_lit @ gt_lit / (np.linalg.norm(mean_lit)
+                                            * np.linalg.norm(gt_lit) + 1e-9))
+        rel = alb / np.clip(gt, 1e-3, None)
+        sscale = float((alb * gt).sum() / np.clip((alb * alb).sum(), 1e-9,
+                                                  None))
+        mse = float(np.mean((sscale * alb - gt) ** 2))
+        psnr = -10 * np.log10(mse + 1e-12)
         if sel_shadow.sum() < 10 or sel_lit.sum() < 10:
-            return None, chroma
-        ratio = float(alb[sel_shadow].mean() / (alb[sel_lit].mean() + 1e-9))
-        return ratio, chroma
+            return None, chroma, psnr
+        ratio = float(rel[sel_shadow].mean() / (rel[sel_lit].mean() + 1e-9))
+        return ratio, chroma, psnr
 
-    r, c = albedo_metrics(os.path.join(logs, "PBR", "checkpoints",
-                                       "latest.npz"))
+    r, c, ps = albedo_metrics(os.path.join(logs, "PBR", "checkpoints",
+                                           "latest.npz"))
     metrics["albedo_shadow_lit_ratio_pbr"] = r
     metrics["albedo_chroma_cos_pbr"] = c
+    metrics["albedo_psnr_pbr"] = ps
 
     stage("cesr", ["cesr", *common, "--n_iters", str(n_iters["cesr"])])
-    r, c = albedo_metrics(os.path.join(logs, "CESR", "checkpoints",
-                                       "latest.npz"))
+    cesr_ckpt = os.path.join(logs, "CESR", "checkpoints", "latest.npz")
+    r, c, ps = albedo_metrics(cesr_ckpt)
     metrics["albedo_shadow_lit_ratio_cesr"] = r
     metrics["albedo_chroma_cos_cesr"] = c
+    metrics["albedo_psnr_cesr"] = ps
+
+    # -- baked albedo-MAP recovery (tools/tex_extract path) -----------------
+    # bake the recovered maps over the mesh atlas (the reference's
+    # deliverable, scripts/tex_extract.py:15-27) and score the albedo map
+    # against the GT pattern evaluated at the same texel positions
+    t0 = time.time()
+    from robir_tpu.texture.pipeline import TexSampler, bilinear_sample
+    from robir_tpu.tools.tex_extract import extract_textures
+
+    p_cesr, _ = ckpt_lib.restore_into(
+        init_stage2_params(jax.random.PRNGKey(0), cfg2), cesr_ckpt,
+        ignore_unknown=True)
+    tex_res = 128 if args.fast else 256
+    extract_textures(p_cesr, cfg2, mesh_path,
+                     os.path.join(args.out, "textures"), resolution=tex_res,
+                     chunk=16384)
+    sampler = TexSampler(mesh_path, tex_res)
+    uu, vv = np.meshgrid(np.linspace(0, 1, tex_res, dtype=np.float32),
+                         np.linspace(0, 1, tex_res, dtype=np.float32),
+                         indexing="xy")
+    uv = np.stack([uu, vv], -1).reshape(-1, 2)
+    tex_s2 = bilinear_sample(sampler.vert, uv) * sampler.coord_scale
+    tex_mask = bilinear_sample(sampler.maskf, uv)[:, 0] > 0.5
+    # main-sphere texels only (the GT pattern lives on the main sphere)
+    tex_world = tex_s2 * scale
+    on_main = (np.abs(np.linalg.norm(tex_world - CENTERS[0], axis=-1)
+                      - RADII[0]) < 0.1) & tex_mask
+    model_c = Stage2Model(p_cesr, cfg2)
+    alb_map = np.asarray(model_c.material(
+        jnp.asarray(tex_s2[on_main], jnp.float32)).diffuse_albedo)
+    gt_map = gt_albedo(tex_world[on_main])
+    sm = float((alb_map * gt_map).sum()
+               / np.clip((alb_map * alb_map).sum(), 1e-9, None))
+    metrics["albedo_map_psnr_cesr"] = float(
+        -10 * np.log10(np.mean((sm * alb_map - gt_map) ** 2) + 1e-12))
+    metrics["albedo_map_texels"] = int(on_main.sum())
+    metrics["tex_extract_seconds"] = round(time.time() - t0, 1)
 
     # -- relighting vs the test split's relit GT ----------------------------
     env_path = make_relight_envmap(os.path.join(args.out, "envmaps"))
@@ -319,10 +436,19 @@ def main():
         metrics["relight"].pop("relit_psnr", None)
 
     metrics["total_seconds"] = round(time.time() - t_start, 1)
+    failures = [] if args.no_gates else check_gates(metrics, args.fast)
+    metrics["gates"] = {"checked": not args.no_gates,
+                        "mode": "fast" if args.fast else "full",
+                        "failures": failures}
     with open(os.path.join(args.out, "pipeline_metrics.json"), "w") as fp:
         json.dump(metrics, fp, indent=1)
     print("\n=== pipeline metrics ===")
     print(json.dumps(metrics, indent=1), flush=True)
+    if failures:
+        print("\n=== QUALITY GATES FAILED ===")
+        for f in failures:
+            print("  " + f)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,15 @@ class GridConfig:
     # random rows. Kept off; flip on only if a future workload shows
     # bandwidth-bound gathers.
     blocked_gather: bool = False
+    # Quad-row layout: pre-concatenate the four (x,y)-corner z-rows of
+    # every cell into one [R*R, 4R] table so each trilinear lookup is ONE
+    # row gather instead of four. The blocked experiment above showed the
+    # march gather cost is per-row-FETCH bound (width-insensitive), so 4x
+    # fewer fetches attacks exactly the binding constraint, at 4x grid
+    # memory (268 MB at 256^3 fp32 — the layout is built once per jitted
+    # region from the base grid by three shifted copies, no gathers).
+    # Bit-exact with the 4-gather path (same blend association).
+    quad_rows: bool = False
     # cached-grid element dtype. "bfloat16" halves the row-gather HBM
     # traffic that dominates the march (each trilinear lookup pulls four
     # full z-rows); interpolation math stays fp32. Near the surface the
@@ -214,12 +223,67 @@ def _sdf_blocked(blocked: jnp.ndarray, cfg: GridConfig,
     return jnp.sum(row * wz, axis=-1)
 
 
-def _make_sdf_fn(grid: jnp.ndarray, cfg: GridConfig):
-    """The march-internal lookup: blocked when enabled and profitable."""
+def _to_quad(grid: jnp.ndarray, cfg: GridConfig) -> jnp.ndarray:
+    """[R, R, R] -> [R*R, 4R]: row ``x*R + y`` holds the z-rows of the four
+    (x, y) cell corners, ``[ (x,y) | (x,y+1) | (x+1,y) | (x+1,y+1) ]``.
+    Edge rows are duplicated for x = R-1 / y = R-1 but never read — the
+    ``_prologue`` clip keeps cell indices <= R-2. Built by shifted copies
+    (pure slicing/concat, no gathers)."""
+    R = cfg.resolution
+    gy = jnp.concatenate([grid[:, 1:, :], grid[:, -1:, :]], axis=1)
+    gx = jnp.concatenate([grid[1:, :, :], grid[-1:, :, :]], axis=0)
+    gxy = jnp.concatenate([gx[:, 1:, :], gx[:, -1:, :]], axis=1)
+    return jnp.concatenate([grid, gy, gx, gxy], axis=-1).reshape(R * R,
+                                                                 4 * R)
+
+
+def _sdf_quad(quad: jnp.ndarray, cfg: GridConfig,
+              x: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear lookup against the quad-row layout — bit-exact with
+    ``grid_sdf`` (identical corner values and blend association; only the
+    number of gathers changes: one [4R]-row fetch per point)."""
+    R = cfg.resolution
+    i0, f = _prologue(cfg, x)
+    z0, fz = i0[:, 2], f[:, 2]
+    x0, y0 = i0[:, 0], i0[:, 1]
+    fx, fy = f[:, 0], f[:, 1]
+    row4 = jnp.take(quad, x0 * R + y0, axis=0)
+    r00, r01 = row4[:, :R], row4[:, R:2 * R]
+    r10, r11 = row4[:, 2 * R:3 * R], row4[:, 3 * R:]
+    row = (r00 * ((1 - fx) * (1 - fy))[:, None]
+           + r01 * ((1 - fx) * fy)[:, None]
+           + r10 * (fx * (1 - fy))[:, None]
+           + r11 * (fx * fy)[:, None])
+    cols = jnp.arange(R, dtype=jnp.int32)[None, :]
+    wz = ((cols == z0[:, None]) * (1 - fz)[:, None]
+          + (cols == (z0 + 1)[:, None]) * fz[:, None])
+    return jnp.sum(row * wz, axis=-1)
+
+
+def _march_layout(grid: jnp.ndarray, cfg: GridConfig) -> jnp.ndarray:
+    """Materialize the march's lookup buffer ONCE per jitted region (the
+    compacted tail re-derives its sdf_fn per scan chunk, so the buffer —
+    not the raw grid — must be what rides through ``compact_apply``'s
+    consts)."""
+    if cfg.quad_rows:
+        return _to_quad(grid, cfg)
     if cfg.blocked_gather and cfg.resolution > _BLOCK:
-        blocked = _to_blocked(grid, cfg)
-        return lambda x: _sdf_blocked(blocked, cfg, x)
-    return lambda x: grid_sdf(grid, cfg, x)
+        return _to_blocked(grid, cfg)
+    return grid
+
+
+def _layout_sdf_fn(buf: jnp.ndarray, cfg: GridConfig):
+    """Lookup closure over a `_march_layout` buffer."""
+    if cfg.quad_rows:
+        return lambda x: _sdf_quad(buf, cfg, x)
+    if cfg.blocked_gather and cfg.resolution > _BLOCK:
+        return lambda x: _sdf_blocked(buf, cfg, x)
+    return lambda x: grid_sdf(buf, cfg, x)
+
+
+def _make_sdf_fn(grid: jnp.ndarray, cfg: GridConfig):
+    """The march-internal lookup: quad-row / blocked when enabled."""
+    return _layout_sdf_fn(_march_layout(grid, cfg), cfg)
 
 
 def grid_normal(grid: jnp.ndarray, cfg: GridConfig, x: jnp.ndarray,
@@ -329,7 +393,8 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
     t0 = t_near + cfg.start_offset
     hit0 = jnp.zeros_like(valid)
 
-    sdf_fn = _make_sdf_fn(grid, cfg)
+    buf = _march_layout(grid, cfg)
+    sdf_fn = _layout_sdf_fn(buf, cfg)
     from ..core.compact import compact_apply, effective_chunk
     chunk = (effective_chunk(rays_o.shape[0], cfg.compact_chunk, mesh)
              if 0 < cfg.compact_after < cfg.max_steps else 0)
@@ -339,28 +404,31 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
                                     t0, t0, valid, hit0, t_far)
 
     if do_compact:
-        # the grid rides as an explicit compact_apply const (NOT a
-        # closure): under a mesh every array entering the shard_map
-        # region must come through in_specs — see compact_apply
+        # the lookup BUFFER rides as an explicit compact_apply const (NOT
+        # a closure): under a mesh every array entering the shard_map
+        # region must come through in_specs — see compact_apply. It is
+        # the materialized layout, not the raw grid, so per-chunk sdf_fn
+        # reconstruction inside the scan is free.
         def tail(t, t_prev, active, hit, o, d, tf, g):
-            tt, tp, _, h = _march(_make_sdf_fn(g, cfg), cfg,
+            tt, tp, _, h = _march(_layout_sdf_fn(g, cfg), cfg,
                                   cfg.max_steps - head, o, d,
                                   t, t_prev, active, hit, tf)
             return tt, tp, h
 
         tt, tp, h = compact_apply(
             tail, active, [t, t_prev, active, hit, rays_o, rays_d, t_far],
-            chunk, mesh=mesh, consts=grid)
+            chunk, mesh=mesh, consts=buf)
         t = jnp.where(active, tt, t)
         t_prev = jnp.where(active, tp, t_prev)
         hit = jnp.where(active, h, hit)
 
         def refine(t, t_prev, h, o, d, g):
-            return (_refine(_make_sdf_fn(g, cfg), cfg, o, d, t, t_prev, h),)
+            return (_refine(_layout_sdf_fn(g, cfg), cfg, o, d, t, t_prev,
+                            h),)
 
         (t_ref,) = compact_apply(
             refine, hit, [t, t_prev, hit, rays_o, rays_d],
-            chunk, mesh=mesh, consts=grid)
+            chunk, mesh=mesh, consts=buf)
         t = jnp.where(hit, t_ref, t)
     else:
         t = _refine(sdf_fn, cfg, rays_o, rays_d, t, t_prev, hit)

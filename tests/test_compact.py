@@ -306,3 +306,45 @@ def test_blocked_gather_matches_rows():
     np.testing.assert_allclose(np.asarray(t1)[both], np.asarray(t2)[both],
                                atol=2e-3)
     assert h1.any()
+
+
+def test_quad_rows_matches_grid_sdf():
+    """The quad-row layout (one 4R-row gather per lookup) is BIT-exact
+    with grid_sdf — identical corner values and blend association — and
+    grid_cast is bit-invariant to it (same trajectories, same hits)."""
+    from robir_tpu.tracing.grid import (_make_sdf_fn, _sdf_quad, _to_quad,
+                                        grid_sdf)
+
+    cfg_q = GridConfig(resolution=160, compact_after=8, quad_rows=True)
+    cfg_r = GridConfig(resolution=160, compact_after=8, quad_rows=False)
+    grid = build_sdf_grid(_sphere_sdf, cfg_q)
+
+    rng = np.random.default_rng(1)
+    pts = np.concatenate([
+        rng.uniform(-1.2, 1.2, (4096, 3)),
+        np.array([[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0], [0.0, 0.0, 1.0]]),
+        rng.uniform(0.99, 1.01, (64, 3)),
+    ]).astype(np.float32)
+
+    quad = _to_quad(grid, cfg_q)
+    a = np.asarray(jax.jit(lambda x: _sdf_quad(quad, cfg_q, x))(pts))
+    b = np.asarray(jax.jit(lambda x: grid_sdf(grid, cfg_q, x))(pts))
+    # same blend association; XLA may still fuse differently -> allow ulps
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+    fn = _make_sdf_fn(grid, cfg_q)
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(pts))), b,
+                               rtol=1e-6, atol=1e-6)
+
+    o = rng.uniform(-0.9, 0.9, (512, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 0.8
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t1, h1, x1 = jax.jit(lambda o, d: grid_cast(grid, cfg_q, o, d))(o, d)
+    t2, h2, x2 = jax.jit(lambda o, d: grid_cast(grid, cfg_r, o, d))(o, d)
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    assert np.mean(h1 == h2) > 0.998, np.mean(h1 == h2)
+    both = h1 & h2
+    np.testing.assert_allclose(np.asarray(t1)[both], np.asarray(t2)[both],
+                               atol=2e-3)
+    assert h1.any()

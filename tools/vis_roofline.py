@@ -24,7 +24,6 @@ Usage:
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -43,7 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp  # noqa: E402
 
-NPX, NSAMP = 256, 512
+NPX = int(os.environ.get("ROBIR_ROOFLINE_NPX", 256))
+NSAMP = int(os.environ.get("ROBIR_ROOFLINE_NSAMP", 512))
 FAN = NPX * NSAMP
 
 
@@ -74,16 +74,21 @@ def cost(fn, *args):
                       "gbytes": round(c.get("bytes accessed", 0) / 1e9, 3)}
 
 
-def timed(compiled, args, reps=5):
-    out = compiled(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = compiled(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+def timed(step_fn, carry, n_steps=8, reps=4):
+    """ms/iteration with the component chained inside one jitted lax.scan
+    (dispatch-loop timing is meaningless through the axon relay — the
+    first draft of this tool measured the standalone march SLOWER than
+    the whole step that contains it). ``step_fn`` must be carry -> carry
+    with a data dependency on its own output so XLA cannot hoist it."""
+    from robir_tpu.tools.profiler import time_scanned
+    return time_scanned(step_fn, carry, n_steps=n_steps, reps=reps) * 1e3
+
+
+def _feed(x, *outs):
+    """Re-inject a negligible function of ``outs`` into ``x`` to chain
+    scan iterations without changing the workload (1e-30 * sum)."""
+    eps = sum(jnp.sum(o) * 1e-30 for o in outs)
+    return x + eps.astype(x.dtype)
 
 
 def main():
@@ -113,7 +118,12 @@ def main():
                        o_fan, d_fan)
     rows["march_fan"] = c
     if do_time:
-        rows["march_fan"]["ms"] = round(timed(compiled, (o_fan, d_fan)), 2)
+        def march_step(carry):
+            o, dd = carry
+            t, hit, x = grid_cast(grid, cfg.grid, o, dd)
+            return _feed(o, t, x), dd
+
+        rows["march_fan"]["ms"] = round(timed(march_step, (o_fan, d_fan)), 2)
 
     # 2. borrow_color at the contributing fraction (~25% of the fan after
     #    hit & front & surface masking — CLAUDE.md round-3 measurement)
@@ -122,8 +132,13 @@ def main():
                        o_fan[:n_bc], d_fan[:n_bc])
     rows["borrow_color_25pct"] = c
     if do_time:
+        def bc_step(carry):
+            x, dd = carry
+            rgb = model.borrow_color(x, dd)
+            return _feed(x, rgb), dd
+
         rows["borrow_color_25pct"]["ms"] = round(
-            timed(compiled, (o_fan[:n_bc], d_fan[:n_bc])), 2)
+            timed(bc_step, (o_fan[:n_bc], d_fan[:n_bc])), 2)
 
     # 3. visibility MLP fwd+bwd over the fan (the trained loss path)
     def vis_loss(vp, x, dd):
@@ -134,8 +149,13 @@ def main():
     compiled, c = cost(vg, params["visibility_network"], o_fan, d_fan)
     rows["visnet_fwd_bwd_fan"] = c
     if do_time:
+        def vis_sgd(vp):
+            g = vg(vp, o_fan, d_fan)
+            return jax.tree_util.tree_map(lambda p, gg: p - 1e-12 * gg,
+                                          vp, g)
+
         rows["visnet_fwd_bwd_fan"]["ms"] = round(
-            timed(compiled, (params["visibility_network"], o_fan, d_fan)), 2)
+            timed(vis_sgd, params["visibility_network"]), 2)
 
     # 4. indirect net fwd+bwd at the pixel batch
     o_px = o_fan[:NPX]
@@ -150,9 +170,13 @@ def main():
     compiled, c = cost(ig, params["indirect_illum_network"], o_px, shift)
     rows["indirect_fwd_bwd_px"] = c
     if do_time:
+        def ind_sgd(ip):
+            g = ig(ip, o_px, shift)
+            return jax.tree_util.tree_map(lambda p, gg: p - 1e-12 * gg,
+                                          ip, g)
+
         rows["indirect_fwd_bwd_px"]["ms"] = round(
-            timed(compiled, (params["indirect_illum_network"], o_px,
-                             shift)), 2)
+            timed(ind_sgd, params["indirect_illum_network"]), 2)
 
     # 5. the whole train step, for the attribution denominator
     from robir_tpu.stages.stage2_runner import (StageOptConfig, make_adam,
@@ -166,7 +190,16 @@ def main():
     illum_p, frozen = split_params(rest, ("indirect_illum_network",))
     vstate, istate = vis_opt.init(vis_p), illum_opt.init(illum_p)
     step = make_vis_step(cfg, vcfg, vis_opt, illum_opt)
-    batch = {"points": o_fan[:NPX] * 4.0, "dirs": d_fan[:NPX],
+    # batch['points'] are CAMERA locations (stage2_forward traces primary
+    # rays from them): place cameras outside the scene and AIM at the
+    # sphere so ~all pixels are surface pixels and the secondary fan
+    # really marches — random dirs mostly miss, which silently idled the
+    # in-step march and made WHOLE_STEP unrepresentatively cheap in the
+    # first draft of this tool.
+    cams = o_fan[:NPX] * 4.0
+    aim = -cams + 0.05 * d_fan[:NPX]
+    aim = aim / jnp.linalg.norm(aim, axis=-1, keepdims=True)
+    batch = {"points": cams, "dirs": aim,
              "object_mask": jnp.ones((NPX,), bool),
              "hdr_shift": shift}
     args = (vis_p, illum_p, frozen, vstate, istate, grid, batch,
@@ -180,7 +213,17 @@ def main():
                           "gbytes": round(ca.get("bytes accessed", 0) / 1e9,
                                           3)}
     if do_time:
-        rows["WHOLE_STEP"]["ms"] = round(timed(compiled, args), 2)
+        def full_step(carry):
+            vp, ip, vs, ist, key = carry
+            key, sub = jax.random.split(key)
+            vp, ip, vs, ist, _ = step(vp, ip, frozen, vs, ist, grid,
+                                      batch, sub)
+            return vp, ip, vs, ist, key
+
+        rows["WHOLE_STEP"]["ms"] = round(
+            timed(full_step,
+                  (vis_p, illum_p, vstate, istate, jax.random.PRNGKey(0)),
+                  n_steps=4), 2)
 
     print(json.dumps({"npx": NPX, "nsamp": NSAMP, "backend":
                       jax.devices()[0].platform, "rows": rows}, indent=1))

@@ -132,10 +132,12 @@ class Stage2RunnerBase:
 
     def bake_grid(self) -> None:
         """Bake the cached-SDF grid from the frozen NeuS (the reference's
-        ``ray_tracer.generate``)."""
+        ``ray_tracer.generate``), then the march lookup layout (host-side,
+        once — see tracing.grid.bake_march_layout)."""
+        from ..tracing.grid import bake_march_layout
         model = Stage2Model(self.params, self.cfg)
-        self.grid_values = self.place_replicated(
-            build_sdf_grid(model.sdf, self.cfg.grid))
+        self.grid_values = self.place_replicated(bake_march_layout(
+            build_sdf_grid(model.sdf, self.cfg.grid), self.cfg.grid))
 
     def model(self) -> Stage2Model:
         return Stage2Model(self.params, self.cfg, self.grid_values,

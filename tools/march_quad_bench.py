@@ -59,17 +59,24 @@ def main():
     out = {"fan": fan, "resolution": R,
            "backend": jax.devices()[0].platform}
 
+    from robir_tpu.tracing.grid import bake_march_layout
+
     for name, quad in (("rows", False), ("quad", True)):
         cfg = dataclasses.replace(base, grid=dataclasses.replace(
             base.grid, quad_rows=quad))
+        buf = bake_march_layout(grid, cfg.grid)   # shipped semantics:
+        # runners bake the layout host-side once per grid refresh. The
+        # buffer rides in the CARRY (a runtime input): closing over it
+        # bakes a 268 MB constant into the HLO and the remote compile
+        # request, which the axon relay rejects (HTTP 413).
 
         def march_step(carry, cfg=cfg):
-            o, dd = carry
-            t, hit, x = grid_cast(grid, cfg.grid, o, dd)
+            o, dd, b = carry
+            t, hit, x = grid_cast(b, cfg.grid, o, dd)
             eps = (jnp.sum(t) + jnp.sum(x)) * 1e-30
-            return o + eps.astype(o.dtype), dd
+            return o + eps.astype(o.dtype), dd, b
 
-        ms = time_scanned(march_step, (o_fan, d_fan), n_steps=8) * 1e3
+        ms = time_scanned(march_step, (o_fan, d_fan, buf), n_steps=8) * 1e3
         out[f"march_ms_{name}"] = round(ms, 2)
 
         vcfg = VisStageConfig(num_pixels=npx, nsamp=nsamp,
@@ -89,15 +96,15 @@ def main():
                  "hdr_shift": jnp.full((npx, 1), 0.5)}
 
         def full_step(carry, step=step, batch=batch):
-            vp, ip, vs, ist, key = carry
+            vp, ip, vs, ist, key, b = carry
             key, sub = jax.random.split(key)
-            vp, ip, vs, ist, _ = step(vp, ip, frozen, vs, ist, grid,
+            vp, ip, vs, ist, _ = step(vp, ip, frozen, vs, ist, b,
                                       batch, sub)
-            return vp, ip, vs, ist, key
+            return vp, ip, vs, ist, key, b
 
         ms = time_scanned(
             full_step,
-            (vis_p, illum_p, vstate, istate, jax.random.PRNGKey(0)),
+            (vis_p, illum_p, vstate, istate, jax.random.PRNGKey(0), buf),
             n_steps=4) * 1e3
         out[f"vis_step_ms_{name}"] = round(ms, 2)
 

@@ -35,12 +35,15 @@ def main():
 
     conf = load_config("configs/hotdog.json")
     cfg = build_stage2_config(conf["model"])
-    # optional grid-march overrides: argv = [compact_after] [blocked 0/1]
+    # optional grid-march overrides:
+    # argv = [compact_after] [blocked 0/1] [quad 0/1]
     if len(sys.argv) > 1:
         cfg = dataclasses.replace(cfg, grid=dataclasses.replace(
             cfg.grid, compact_after=int(sys.argv[1]),
             blocked_gather=bool(int(sys.argv[2])) if len(sys.argv) > 2
-            else cfg.grid.blocked_gather))
+            else cfg.grid.blocked_gather,
+            quad_rows=bool(int(sys.argv[3])) if len(sys.argv) > 3
+            else cfg.grid.quad_rows))
     with tempfile.TemporaryDirectory() as d:
         make_sphere_dataset(d, n_train=4, n_test=1, h=200, w=200, radius=0.5)
         dataset = SynDataset(SynDatasetConfig(instance_dir=d))

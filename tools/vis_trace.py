@@ -28,8 +28,13 @@ from robir_tpu.tools.profiler import summarize_trace, trace  # noqa: E402
 
 
 def main():
+    import dataclasses
+
     conf = load_config("configs/hotdog.json")
     cfg = build_stage2_config(conf["model"])
+    if len(sys.argv) > 1:        # argv: [quad 0/1]
+        cfg = dataclasses.replace(cfg, grid=dataclasses.replace(
+            cfg.grid, quad_rows=bool(int(sys.argv[1]))))
     with tempfile.TemporaryDirectory() as d:
         make_sphere_dataset(d, n_train=4, n_test=1, h=200, w=200, radius=0.5)
         dataset = SynDataset(SynDatasetConfig(instance_dir=d))

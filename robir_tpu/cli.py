@@ -348,7 +348,11 @@ def cmd_norm(args):
     runner.bake_grid()
     ts = TexSampler(args.mesh, cfg_dict.get("texture_resolution", 2048))
     fs = focus_sampler_from_dataset(dataset)
-    trace = jax.jit(lambda o, d: grid_cast(runner.grid_values, cfg.grid, o, d))
+    # grid as an explicit jit argument: closing over a baked quad-layout
+    # buffer would embed a ~262 MB HLO constant (relay rejects the
+    # compile request with HTTP 413)
+    _trace = jax.jit(lambda g, o, d: grid_cast(g, cfg.grid, o, d))
+    trace = lambda o, d: _trace(runner.grid_values, o, d)
     runner.sampler = TexSpaceSampler(
         ts, fs, trace, offset=TexSpaceSampler.offset_for_grid(cfg.grid))
     _run_stage(runner, args, stage_cfg.max_iters, "Norm", dataset=dataset)

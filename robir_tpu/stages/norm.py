@@ -166,12 +166,15 @@ def norm_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = Non
     from ..render.stage2 import Stage2Model
     from ..tools import plots
 
-    model = Stage2Model(runner.params, runner.cfg, runner.grid_values)
     dirs, cam_loc = dataset.camera_rays(idx)
     n = dirs.shape[0]
 
+    # grid as a jit argument, not a closure: a baked quad-layout buffer
+    # (GridConfig.quad_rows) as an embedded constant blows the relay's
+    # compile-request size limit (HTTP 413)
     @jax.jit
-    def chunk_fn(d, o):
+    def chunk_fn(d, o, g):
+        model = Stage2Model(runner.params, runner.cfg, g)
         t, hit, x = model.trace(o, d)
         pts_ipe = integrated_pos_enc(x, jnp.full_like(x, 1e-5),
                                      runner.cfg.envmap.ipe)
@@ -190,7 +193,7 @@ def norm_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = Non
         if pad:
             d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
         o = np.broadcast_to(cam_loc, d.shape).copy()
-        a, b = chunk_fn(jnp.asarray(d), jnp.asarray(o))
+        a, b = chunk_fn(jnp.asarray(d), jnp.asarray(o), runner.grid_values)
         cut = chunk - pad if pad else chunk
         outs.append((np.asarray(a)[:cut], np.asarray(b)[:cut]))
     out = {"normals": np.concatenate([o[0] for o in outs]),

@@ -212,21 +212,28 @@ def render_view(model: Stage2Model, dataset, idx: int, sg_render_fn=None,
     dirs, cam_loc = dataset.camera_rays(idx)
     n = dirs.shape[0]
 
+    from ..render.stage2 import Stage2Model
+
+    # the grid enters as a jit ARGUMENT: closing over a baked quad-layout
+    # buffer (GridConfig.quad_rows) embeds a ~262 MB HLO constant and the
+    # axon relay rejects the compile request (HTTP 413)
     @jax.jit
-    def render_chunk(d, o, k):
-        hdr_shift = jnp.broadcast_to(as_input(model.params["gamma"]),
+    def render_chunk(d, o, k, grid_values):
+        m = Stage2Model(model.params, model.cfg, grid_values,
+                        mesh=model.mesh)
+        hdr_shift = jnp.broadcast_to(as_input(m.params["gamma"]),
                                      (d.shape[0], 1))
         inp = {"points": o, "dirs": d, "hdr_shift": hdr_shift}
         # eval is forward-only, so surface-pixel compaction has no remat
         # cost and whole-image chunks are mostly empty (object covers
         # ~1/3 of the frame). CESR's dense render fn returns batch-scalar
         # supervision and must stay dense — callers pass compact_chunk=0.
-        out = stage2_forward(model, k, inp, trainstage="Material",
+        out = stage2_forward(m, k, inp, trainstage="Material",
                              sg_render_fn=sg_render_fn,
                              train_spec=train_spec, lin_diff=lin_diff,
                              compact_chunk=compact_chunk,
                              **sg_kwargs)
-        pred = hdr2ldr(model.params["gamma"], model.cfg.tonemap,
+        pred = hdr2ldr(m.params["gamma"], m.cfg.tonemap,
                        out["sg_rgb"] + out["indir_rgb"])
         mask = out["network_object_mask"]
         return {
@@ -250,7 +257,8 @@ def render_view(model: Stage2Model, dataset, idx: int, sg_render_fn=None,
             d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
         o = np.broadcast_to(cam_loc, d.shape).copy()
         key, k = jax.random.split(key)
-        out = render_chunk(jnp.asarray(d), jnp.asarray(o), k)
+        out = render_chunk(jnp.asarray(d), jnp.asarray(o), k,
+                           model.grid_values)
         cut = chunk - pad if pad else chunk
         outs.append({kk: np.asarray(v)[:cut] for kk, v in out.items()})
     return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}

@@ -211,12 +211,14 @@ def vis_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = None
     from ..render.stage2 import Stage2Model, stage2_forward, trace_radiance
     from ..tools import plots
 
-    model = Stage2Model(runner.params, runner.cfg, runner.grid_values)
     dirs, cam_loc = dataset.camera_rays(idx)
     n = dirs.shape[0]
 
+    # grid as a jit argument, not a closure (quad-layout buffers embedded
+    # as constants blow the relay's compile-request limit, HTTP 413)
     @jax.jit
-    def chunk_fn(d, o, k):
+    def chunk_fn(d, o, k, g):
+        model = Stage2Model(runner.params, runner.cfg, g)
         # independent keys: forward and trace both split their key first,
         # so sharing k would correlate the indirect net's noise with the
         # traced sample directions (the train step splits k_fwd/k_trace)
@@ -239,7 +241,8 @@ def vis_plot_to_disk(runner, dataset, idx: int = 0, plots_dir: str | None = None
             d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
         o = np.broadcast_to(cam_loc, d.shape).copy()
         key, k = jax.random.split(key)
-        a, b = chunk_fn(jnp.asarray(d), jnp.asarray(o), k)
+        a, b = chunk_fn(jnp.asarray(d), jnp.asarray(o), k,
+                        runner.grid_values)
         cut = chunk - pad if pad else chunk
         outs.append((np.asarray(a)[:cut], np.asarray(b)[:cut]))
     out = {"pred_vis": np.concatenate([o[0] for o in outs]),

@@ -50,7 +50,10 @@ def relight_views(params: dict, cfg: Stage2Config, grid_values,
     model = Stage2Model(params, cfg, grid_values)
     os.makedirs(out_dir, exist_ok=True)
 
-    render_fn = jax.jit(functools.partial(_render_chunk, model=model, cfg=cfg,
+    # the grid enters as a jit argument (closing over a baked quad-layout
+    # buffer embeds a ~262 MB HLO constant -> relay HTTP 413)
+    render_fn = jax.jit(functools.partial(_render_chunk, params=params,
+                                          cfg=cfg,
                                           light_origin=light_origin))
 
     env_name = os.path.splitext(os.path.basename(envmap_path))[0]
@@ -73,7 +76,8 @@ def relight_views(params: dict, cfg: Stage2Config, grid_values,
                 d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
             key, k = jax.random.split(key)
             out = render_fn(jnp.asarray(d),
-                            jnp.broadcast_to(jnp.asarray(cam_loc), d.shape), k)
+                            jnp.broadcast_to(jnp.asarray(cam_loc), d.shape),
+                            k, grid_values)
             out = {kk: np.asarray(v)[:chunk - pad if pad else chunk]
                    for kk, v in out.items()}
             # background: the target envmap (forward:364-366), or white for
@@ -154,8 +158,9 @@ def _swap_light(params: dict, envmap_path: str):
     return new_params, envmap_img
 
 
-def _render_chunk(dirs, points, key, *, model: Stage2Model, cfg: Stage2Config,
-                  light_origin: bool = False):
+def _render_chunk(dirs, points, key, grid_values, *, params: dict,
+                  cfg: Stage2Config, light_origin: bool = False):
+    model = Stage2Model(params, cfg, grid_values)
     n = dirs.shape[0]
     hdr_shift = jnp.broadcast_to(as_input(model.params["gamma"]), (n, 1))
     inp = {"points": points, "dirs": dirs, "hdr_shift": hdr_shift}

@@ -39,8 +39,12 @@ def main():
     from robir_tpu.tracing.grid import grid_cast
 
     base = Stage2Config()
+    res = int(os.environ.get("ROBIR_QUAD_RES", 0))
+    store = os.environ.get("ROBIR_QUAD_STORE") or None
     base = dataclasses.replace(base, grid=dataclasses.replace(
-        base.grid, bbox_min=(-0.45,) * 3, bbox_max=(0.45,) * 3))
+        base.grid, bbox_min=(-0.45,) * 3, bbox_max=(0.45,) * 3,
+        resolution=res or base.grid.resolution,
+        storage_dtype=store or base.grid.storage_dtype))
     params = init_stage2_params(jax.random.PRNGKey(0), base)
     R = base.grid.resolution
     ax = [np.linspace(base.grid.bbox_lo[i], base.grid.bbox_hi[i], R,
@@ -78,6 +82,8 @@ def main():
 
         ms = time_scanned(march_step, (o_fan, d_fan, buf), n_steps=8) * 1e3
         out[f"march_ms_{name}"] = round(ms, 2)
+        if os.environ.get("ROBIR_QUAD_MARCH_ONLY"):
+            continue
 
         vcfg = VisStageConfig(num_pixels=npx, nsamp=nsamp,
                               opt=StageOptConfig(lr=5e-4))

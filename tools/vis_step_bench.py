@@ -54,15 +54,19 @@ def main():
         batch = runner._batch()
         step = runner._step
 
+        # grid rides in the carry: closing over a baked quad buffer embeds
+        # a ~262 MB HLO constant and the relay rejects the compile request
+        # (HTTP 413); the real runner passes it as a step argument too
         def one(carry):
-            vp, ip, vs, istate, k = carry
+            vp, ip, vs, istate, k, g = carry
             k, sk = jax.random.split(k)
             vp, ip, vs, istate, _ = step(vp, ip, runner._frozen, vs, istate,
-                                         runner.grid_values, batch, sk)
-            return (vp, ip, vs, istate, k)
+                                         g, batch, sk)
+            return (vp, ip, vs, istate, k, g)
 
         carry = (runner._vis, runner._illum, runner.vis_state,
-                 runner.illum_state, jax.random.PRNGKey(1))
+                 runner.illum_state, jax.random.PRNGKey(1),
+                 runner.grid_values)
         ms = time_scanned(one, carry, n_steps=10, reps=3) * 1e3
         print(json.dumps({"metric": "vis_step_ms", "value": round(ms, 2),
                           "px_per_sec": round(256 / (ms / 1e3), 1)}))

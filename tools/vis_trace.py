@@ -46,21 +46,23 @@ def main():
         step = runner._step
         K = 4
 
-        def multi(carry):
+        # grid as an explicit jit argument (closing over a baked quad
+        # buffer embeds a ~262 MB HLO constant -> relay HTTP 413)
+        def multi(carry, grid):
             vp, ip, vs, istate, k = carry
 
             def body(c, sk):
                 vp, ip, vs, istate = c
                 vp, ip, vs, istate, m = step(vp, ip, runner._frozen, vs,
-                                             istate, runner.grid_values,
-                                             batch, sk)
+                                             istate, grid, batch, sk)
                 return (vp, ip, vs, istate), m["radiance_loss"]
 
             (vp, ip, vs, istate), losses = jax.lax.scan(
                 body, (vp, ip, vs, istate), jax.random.split(k, K))
             return vp, ip, vs, istate, losses
 
-        f = jax.jit(multi)
+        _f = jax.jit(multi)
+        f = lambda c: _f(c, runner.grid_values)
         carry = (runner._vis, runner._illum, runner.vis_state,
                  runner.illum_state, jax.random.PRNGKey(1))
         out = f(carry)

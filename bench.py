@@ -65,12 +65,15 @@ def _stage2_setup_bench():
     cfg = Stage2Config()
     cfg = dataclasses.replace(
         cfg, visnet=dataclasses.replace(cfg.visnet,
-                                        storage_dtype="bfloat16"))
+                                        storage_dtype="bfloat16"),
+        grid=dataclasses.replace(cfg.grid, quad_rows=True))
     if os.environ.get("ROBIR_BENCH_SMOKE"):
         cfg = dataclasses.replace(
             cfg, grid=dataclasses.replace(cfg.grid, resolution=48))
     params = init_stage2_params(jax.random.PRNGKey(0), cfg)
-    grid = build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid)
+    from robir_tpu.tracing.grid import bake_march_layout
+    grid = bake_march_layout(
+        build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid), cfg.grid)
     return cfg, params, grid
 
 
@@ -108,7 +111,9 @@ def _measure_pbr(cfg, params, grid, batch, compact_chunk, n,
                                              compact_chunk=compact_chunk),
                          opt, jit=False)
 
-    def multi(trainable, opt_state, key):
+    # grid as a jit ARGUMENT: a closed-over quad-layout buffer embeds a
+    # ~268 MB HLO constant and the relay rejects the compile (HTTP 413)
+    def multi(trainable, opt_state, key, grid):
         def body(c, k):
             t, s = c
             t, s, m = step(t, frozen, s, grid, batch, k)
@@ -118,13 +123,13 @@ def _measure_pbr(cfg, params, grid, batch, compact_chunk, n,
                             jax.random.split(key, k_steps))
 
     f = jax.jit(multi)
-    out = f(trainable, opt_state, jax.random.PRNGKey(0))
+    out = f(trainable, opt_state, jax.random.PRNGKey(0), grid)
     jax.block_until_ready(out)
     float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
     best = float("inf")
     for rep in range(reps):
         t0 = time.perf_counter()
-        out = f(trainable, opt_state, jax.random.PRNGKey(rep + 1))
+        out = f(trainable, opt_state, jax.random.PRNGKey(rep + 1), grid)
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         best = min(best, (time.perf_counter() - t0) / k_steps)
     return best
@@ -197,16 +202,21 @@ def main_extra():
     batch = {"points": b["points"], "dirs": b["dirs"],
              "object_mask": b["object_mask"],
              "hdr_shift": jnp.full((npx, 1), 0.5)}
-    out = step(vis_p, illum_p, frozen, vstate, istate, grid, batch,
-               jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
-    best = float("inf")
-    for rep in range(2 if smoke else 5):
-        t0 = time.perf_counter()
-        out = step(vis_p, illum_p, frozen, vstate, istate, grid, batch,
-                   jax.random.PRNGKey(rep + 1))
-        float(np.asarray(out[-1]["visibility_loss"]))
-        best = min(best, time.perf_counter() - t0)
+
+    # scan-chained (dispatch-loop timing through the relay is unreliable);
+    # grid in the carry = a runtime input, as the runner passes it
+    from robir_tpu.tools.profiler import time_scanned
+
+    def one_vis(carry):
+        vp, ip, vs, ist, k, g = carry
+        k, sk = jax.random.split(k)
+        vp, ip, vs, ist, _ = step(vp, ip, frozen, vs, ist, g, batch, sk)
+        return vp, ip, vs, ist, k, g
+
+    best = time_scanned(
+        one_vis, (vis_p, illum_p, vstate, istate, jax.random.PRNGKey(1),
+                  grid),
+        n_steps=2 if smoke else 8, reps=2 if smoke else 4)
     extra["vis_step_ms"] = round(best * 1e3, 1)
     extra["vis_step_px"] = npx
     extra["vis_step_nsamp"] = nsamp
@@ -218,24 +228,22 @@ def main_extra():
 
     ne = 1024 if smoke else 8192
     be = _pbr_batch(ne, surface_frac=0.33, seed=3)
-    model = Stage2Model(params, cfg, grid)
 
-    @jax.jit
-    def render_chunk(k):
+    def one_eval(carry):
+        acc, k, g = carry
+        k, sk = jax.random.split(k)
+        m = Stage2Model(params, cfg, g)
         inp = {"points": be["points"], "dirs": be["dirs"],
                "hdr_shift": jnp.full((ne, 1), 0.5)}
-        o = stage2_forward(model, k, inp, trainstage="Material",
+        o = stage2_forward(m, sk, inp, trainstage="Material",
                            compact_chunk=512)
-        return hdr2ldr(model.params["gamma"], cfg.tonemap,
-                       o["sg_rgb"] + o["indir_rgb"])
+        rgb = hdr2ldr(m.params["gamma"], cfg.tonemap,
+                      o["sg_rgb"] + o["indir_rgb"])
+        return acc + rgb[0, 0], k, g
 
-    out = render_chunk(jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
-    best = float("inf")
-    for rep in range(2 if smoke else 5):
-        t0 = time.perf_counter()
-        float(np.asarray(render_chunk(jax.random.PRNGKey(rep)))[0, 0])
-        best = min(best, time.perf_counter() - t0)
+    best = time_scanned(
+        one_eval, (jnp.float32(0.0), jax.random.PRNGKey(0), grid),
+        n_steps=2 if smoke else 6, reps=2 if smoke else 4)
     extra["eval_render_px_per_sec"] = round(ne / best / n_chips, 1)
 
     extra["smoke"] = smoke

@@ -64,6 +64,18 @@ class GridConfig:
     # random rows. Kept off; flip on only if a future workload shows
     # bandwidth-bound gathers.
     blocked_gather: bool = False
+    # Over-relaxed sphere tracing (Keinert et al. 2014, "Enhanced Sphere
+    # Tracing"): step omega*|sdf| with omega > 1, and REJECT a step when
+    # the consecutive bounding spheres fail to overlap
+    # (step > |s_prev| + |s|) — the ray reverts to the conservative
+    # endpoint, so no crossing can be skipped. Helps exactly the
+    # expensive tail population: grazing secondary rays whose step is
+    # proportional to their small height above the surface. 0.0 = off
+    # (plain relax-understepping, the round-1..3 behavior, bit-exact).
+    # min_step-clamped rays are unaffected (their step was already above
+    # the conservative bound; rejection only fires for genuinely
+    # over-relaxed steps).
+    over_relax: float = 0.0
     # Quad-row layout: pre-concatenate the four (x,y)-corner z-rows of
     # every cell into one [R*R, 4R] table so each trilinear lookup is ONE
     # row gather instead of four. The blocked experiment above showed the
@@ -338,33 +350,77 @@ def _ray_bbox(cfg: GridConfig, o: jnp.ndarray, d: jnp.ndarray):
 
 
 def _march(sdf_fn, cfg: GridConfig, max_iters: int,
-           rays_o, rays_d, t, t_prev, active, hit, t_far):
+           rays_o, rays_d, t, t_prev, active, hit, t_far,
+           s_prev=None, step_prev=None):
     """Masked sphere-trace for up to ``max_iters`` steps; early-exits when
     no ray in the batch is active. Per-ray trajectories are independent, so
     splitting the march into phases (full-width head, compacted tail) is
-    bit-exact."""
+    bit-exact — with ``over_relax`` the rejection state (``s_prev``,
+    ``step_prev``) must also cross the phase boundary.
+
+    Returns ``(t, t_prev, active, hit, extra)`` where ``extra`` is the
+    ``(s_prev, step_prev)`` pair when over-relaxation is on, else None."""
     eps_hit = cfg.hit_eps_cells * cfg.cell
     min_step = 0.5 * cfg.cell
+    over = cfg.over_relax > 1.0
+    omega = cfg.over_relax if over else cfg.relax
+    if over:
+        if s_prev is None:
+            s_prev = jnp.zeros_like(t)
+        if step_prev is None:
+            step_prev = jnp.zeros_like(t)
 
     def body(state):
-        t, t_prev, active, hit, it = state
+        if over:
+            t, t_prev, s_prev, step_prev, active, hit, it = state
+        else:
+            t, t_prev, active, hit, it = state
         x = rays_o + t[:, None] * rays_d
         s = sdf_fn(x)
-        new_hit = active & (s < eps_hit)
-        step = jnp.maximum(cfg.relax * s, min_step)
-        t_prev = jnp.where(active & ~new_hit, t, t_prev)
-        t_next = jnp.where(active & ~new_hit, t + step, t)
+        if over:
+            # reject when the previous step was over-relaxed AND the
+            # consecutive bounding spheres do not overlap — a crossing
+            # may hide in the uncovered gap; revert to the conservative
+            # endpoint (plain relax step from t_prev), whose sdf the
+            # next iteration evaluates. A rejected step never chains:
+            # the reverted step IS conservative, so was_over is False
+            # on the following check.
+            cons_prev = jnp.maximum(cfg.relax * s_prev, min_step)
+            was_over = step_prev > cons_prev * (1 + 1e-6)
+            fail = active & was_over & (step_prev
+                                        > jnp.abs(s_prev) + jnp.abs(s))
+        else:
+            fail = jnp.zeros_like(active)
+        new_hit = active & ~fail & (s < eps_hit)
+        step = jnp.maximum(omega * s, min_step)
+        adv = active & ~new_hit & ~fail
+        t_next = jnp.where(adv, t + step, t)
+        if over:
+            t_fail = t_prev + cons_prev
+            t_next = jnp.where(fail, t_fail, t_next)
         inside = t_next <= t_far
         active = active & ~new_hit & inside
-        return t_next, t_prev, active, hit | new_hit, it + 1
+        t_prev_n = jnp.where(adv, t, t_prev)
+        if over:
+            s_prev_n = jnp.where(adv, s, s_prev)
+            step_prev_n = jnp.where(adv, step,
+                                    jnp.where(fail, cons_prev, step_prev))
+            return (t_next, t_prev_n, s_prev_n, step_prev_n, active,
+                    hit | new_hit, it + 1)
+        return t_next, t_prev_n, active, hit | new_hit, it + 1
 
     def cond(state):
-        _, _, active, _, it = state
+        active, it = state[-3], state[-1]
         return jnp.any(active) & (it < max_iters)
 
+    if over:
+        t, t_prev, s_prev, step_prev, active, hit, _ = jax.lax.while_loop(
+            cond, body,
+            (t, t_prev, s_prev, step_prev, active, hit, jnp.int32(0)))
+        return t, t_prev, active, hit, (s_prev, step_prev)
     t, t_prev, active, hit, _ = jax.lax.while_loop(
         cond, body, (t, t_prev, active, hit, jnp.int32(0)))
-    return t, t_prev, active, hit
+    return t, t_prev, active, hit, None
 
 
 def _refine(sdf_fn, cfg: GridConfig, rays_o, rays_d, t, t_prev,
@@ -426,23 +482,30 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
              if 0 < cfg.compact_after < cfg.max_steps else 0)
     do_compact = chunk > 0
     head = cfg.compact_after if do_compact else cfg.max_steps
-    t, t_prev, active, hit = _march(sdf_fn, cfg, head, rays_o, rays_d,
-                                    t0, t0, valid, hit0, t_far)
+    t, t_prev, active, hit, extra = _march(sdf_fn, cfg, head, rays_o,
+                                           rays_d, t0, t0, valid, hit0,
+                                           t_far)
+    over = extra is not None
+    s_prev, step_prev = extra if over else (t0, t0)  # placeholders
 
     if do_compact:
         # the lookup BUFFER rides as an explicit compact_apply const (NOT
         # a closure): under a mesh every array entering the shard_map
         # region must come through in_specs — see compact_apply. It is
         # the materialized layout, not the raw grid, so per-chunk sdf_fn
-        # reconstruction inside the scan is free.
-        def tail(t, t_prev, active, hit, o, d, tf, g):
-            tt, tp, _, h = _march(_layout_sdf_fn(g, cfg), cfg,
-                                  cfg.max_steps - head, o, d,
-                                  t, t_prev, active, hit, tf)
+        # reconstruction inside the scan is free. The over-relaxation
+        # rejection state crosses the phase boundary as two extra args.
+        def tail(t, t_prev, active, hit, sp, stp, o, d, tf, g):
+            tt, tp, _, h, _ = _march(_layout_sdf_fn(g, cfg), cfg,
+                                     cfg.max_steps - head, o, d,
+                                     t, t_prev, active, hit, tf,
+                                     s_prev=sp if over else None,
+                                     step_prev=stp if over else None)
             return tt, tp, h
 
         tt, tp, h = compact_apply(
-            tail, active, [t, t_prev, active, hit, rays_o, rays_d, t_far],
+            tail, active, [t, t_prev, active, hit, s_prev, step_prev,
+                           rays_o, rays_d, t_far],
             chunk, mesh=mesh, consts=buf)
         t = jnp.where(active, tt, t)
         t_prev = jnp.where(active, tp, t_prev)

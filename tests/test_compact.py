@@ -8,6 +8,8 @@ uncompacted computation, including chunk-boundary and all-/none-needed
 edges.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -348,3 +350,44 @@ def test_quad_rows_matches_grid_sdf():
     np.testing.assert_allclose(np.asarray(t1)[both], np.asarray(t2)[both],
                                atol=2e-3)
     assert h1.any()
+
+
+def test_over_relax_matches_conservative():
+    """Over-relaxed sphere tracing with rejection (Keinert-style) finds
+    the same hits as the conservative march (tolerance-level t agreement;
+    the rejection test guarantees no crossing is skipped), on a sphere
+    and on a thin-feature torus, with and without the compacted tail."""
+    def torus_sdf(x):
+        q = jnp.stack([jnp.linalg.norm(x[:, :2], axis=-1) - 0.6,
+                       x[:, 2]], -1)
+        return jnp.linalg.norm(q, axis=-1) - 0.15
+
+    rng = np.random.default_rng(7)
+    o = rng.uniform(-0.9, 0.9, (1024, 3)).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 0.85
+    d = rng.normal(size=(1024, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    for sdf, res in ((_sphere_sdf, 96), (torus_sdf, 128)):
+        for compact_after in (0, 8):
+            cfg_c = GridConfig(resolution=res, max_steps=192,
+                               compact_after=compact_after,
+                               compact_chunk=256)
+            cfg_o = dataclasses.replace(cfg_c, over_relax=1.6)
+            grid = build_sdf_grid(sdf, cfg_c)
+            t1, h1, _ = jax.jit(
+                lambda o, d: grid_cast(grid, cfg_c, o, d))(o, d)
+            t2, h2, _ = jax.jit(
+                lambda o, d: grid_cast(grid, cfg_o, o, d))(o, d)
+            h1, h2 = np.asarray(h1), np.asarray(h2)
+            agree = np.mean(h1 == h2)
+            assert agree > 0.995, (agree, res, compact_after)
+            both = h1 & h2
+            diff = np.abs(np.asarray(t1)[both] - np.asarray(t2)[both])
+            # grazing rays may bracket a neighboring crossing: bound the
+            # tail by one cell, the bulk by bisection tolerance
+            assert np.mean(diff < 3e-3) > 0.98, (res, compact_after,
+                                                 diff.max())
+            assert diff.max() < cfg_c.cell, (res, compact_after,
+                                             diff.max())
+            assert h1.any() and h2.any()

@@ -44,7 +44,8 @@ def main():
     base = dataclasses.replace(base, grid=dataclasses.replace(
         base.grid, bbox_min=(-0.45,) * 3, bbox_max=(0.45,) * 3,
         resolution=res or base.grid.resolution,
-        storage_dtype=store or base.grid.storage_dtype))
+        storage_dtype=store or base.grid.storage_dtype,
+        over_relax=float(os.environ.get("ROBIR_QUAD_OVERRELAX", 0.0))))
     params = init_stage2_params(jax.random.PRNGKey(0), base)
     R = base.grid.resolution
     ax = [np.linspace(base.grid.bbox_lo[i], base.grid.bbox_hi[i], R,

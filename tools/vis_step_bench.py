@@ -14,6 +14,7 @@ through the axon tunnel).
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import jax
@@ -43,7 +44,8 @@ def main():
             blocked_gather=bool(int(sys.argv[2])) if len(sys.argv) > 2
             else cfg.grid.blocked_gather,
             quad_rows=bool(int(sys.argv[3])) if len(sys.argv) > 3
-            else cfg.grid.quad_rows))
+            else cfg.grid.quad_rows,
+            over_relax=float(os.environ.get("ROBIR_VIS_OVERRELAX", 0.0))))
     with tempfile.TemporaryDirectory() as d:
         make_sphere_dataset(d, n_train=4, n_test=1, h=200, w=200, radius=0.5)
         dataset = SynDataset(SynDatasetConfig(instance_dir=d))

@@ -86,7 +86,7 @@ def conf_dict(fast: bool) -> dict:
                                    "storage_dtype": "bfloat16"},
             "tonemap": {"hdr_mode": 0, "gamma": 1.0},
             "grid": {"resolution": 224, "bbox_min": [-0.45] * 3,
-                     "bbox_max": [0.45] * 3},
+                     "bbox_max": [0.45] * 3, "quad_rows": True},
         },
         "render": {"n_samples": 64, "n_importance": 64, "up_sample_steps": 4,
                    "white_bkgd": True},

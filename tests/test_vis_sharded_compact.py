@@ -166,3 +166,36 @@ def test_grid_cast_sharded_compact_bitexact(setup):
     # bisection/Newton refine sees brackets a few ulp apart
     np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_d),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_vis_step_sharded_quad_layout(setup):
+    """The prebaked quad-row lookup buffer (2-D grid_values) rides the
+    per-shard compaction consts under the mesh: losses match the 4-row
+    sharded step at fp tolerance and no collective appears beyond the
+    dense step's (quad is bit-exact, so this is the sharding analog of
+    test_quad_rows_matches_grid_sdf)."""
+    dataset, cfg, params = setup
+    mesh = create_mesh(MeshConfig())
+
+    rows = _runner(dataset, cfg, params, mesh, fan_chunk=64,
+                   grid_chunk=256)
+    qcfg = dataclasses.replace(cfg, grid=dataclasses.replace(
+        cfg.grid, quad_rows=True))
+    quad = _runner(dataset, qcfg, params, mesh, fan_chunk=64,
+                   grid_chunk=256)
+    assert quad.grid_values.ndim == 2  # prebaked host-side
+
+    with mesh:
+        mr = rows.run(2, log_every=1)
+        mq = quad.run(2, log_every=1)
+    for k in ("radiance_loss", "visibility_loss"):
+        np.testing.assert_allclose(mq[k], mr[k], rtol=2e-4, atol=1e-6), k
+
+    b = quad._batch()
+    with mesh:
+        lowered = quad._step.lower(quad._vis, quad._illum, quad._frozen,
+                                   quad.vis_state, quad.illum_state,
+                                   quad.grid_values, b, quad.next_key())
+        hq = lowered.compile().as_text().lower()
+    assert _count(hq, "all-to-all") == 0
+    assert _count(hq, "collective-permute") == 0

@@ -51,10 +51,14 @@ class GridConfig:
     # independent. 0 disables. Most secondary rays exit the bbox or hit
     # within ~16 steps; the full-width tail was the dominant cost of the
     # Vis-stage trace (measured 119 ms/step of row gathers at 131k rays).
-    # Head-length sweep on the chip (Vis step ms): 4 -> 67.9, 8 -> 59.6,
-    # 16 -> 66.4, 24 -> 82.9 — 8 balances full-width head gathers against
-    # live tail chunks.
-    compact_after: int = 8
+    # Head-length sweeps on the chip (realistic Vis step ms). Round 3,
+    # 4-row layout (closure-mode timing): 4 -> 67.9, 8 -> 59.6,
+    # 16 -> 66.4, 24 -> 82.9. Round 4 re-sweep under the quad layout
+    # with argument-mode timing: 2 -> 60.2, 4 -> 61.5/61.9, 6 -> 69.9,
+    # 8 -> 73.6-75.0, 16 -> 108.3 — quad makes compacted tail chunks
+    # cheaper, so sorting earlier wins; 4 sits mid-plateau (2 is within
+    # run noise) and is safer across ray populations than 2.
+    compact_after: int = 4
     compact_chunk: int = 4096
     # Blocked z-gathers: gather 128-wide z-blocks instead of full R-wide
     # z-rows (overlapping blocks strided by 127 so any (z0, z0+1) pair

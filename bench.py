@@ -66,7 +66,9 @@ def _stage2_setup_bench():
     cfg = dataclasses.replace(
         cfg, visnet=dataclasses.replace(cfg.visnet,
                                         storage_dtype="bfloat16"),
-        grid=dataclasses.replace(cfg.grid, quad_rows=True))
+        # mirror the shipped stage-2 configs: quad layout + bf16 grid
+        grid=dataclasses.replace(cfg.grid, quad_rows=True,
+                                 storage_dtype="bfloat16"))
     if os.environ.get("ROBIR_BENCH_SMOKE"):
         cfg = dataclasses.replace(
             cfg, grid=dataclasses.replace(cfg.grid, resolution=48))

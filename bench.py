@@ -241,7 +241,9 @@ def main_extra():
                            compact_chunk=512)
         rgb = hdr2ldr(m.params["gamma"], cfg.tonemap,
                       o["sg_rgb"] + o["indir_rgb"])
-        return acc + rgb[0, 0], k, g
+        # sum over the full output so XLA cannot dead-code-eliminate the
+        # per-pixel epilogue down to one consumed element
+        return acc + jnp.sum(rgb), k, g
 
     best = time_scanned(
         one_eval, (jnp.float32(0.0), jax.random.PRNGKey(0), grid),

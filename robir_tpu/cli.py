@@ -423,7 +423,7 @@ def cmd_relight(args):
     from .core import checkpoint as ckpt_lib
     from .stages.stage2_runner import init_stage2_params
     from .tools.relight import relight_views
-    from .tracing.grid import build_sdf_grid
+    from .tracing.grid import bake_march_layout, build_sdf_grid
     from .render.stage2 import Stage2Model
     import jax
     cfg_dict = _load(args)
@@ -433,7 +433,11 @@ def cmd_relight(args):
     if not os.path.exists(ckpt):
         ckpt = os.path.join(args.log_dir, "PBR", "checkpoints", "latest.npz")
     params, _ = ckpt_lib.restore_into(params, ckpt, ignore_unknown=True)
-    grid = build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid)
+    # bake the march layout host-side like the runners do — a raw 3-D
+    # grid with quad_rows on would rebuild the quad table in-graph per
+    # render chunk (~250 ms/call)
+    grid = bake_march_layout(
+        build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid), cfg.grid)
     out_dir = args.out or os.path.join(args.log_dir, "relight",
                                        os.path.basename(args.envmap))
     # relit ground truth ships with the TEST split (syn_dataset.py:101-115)

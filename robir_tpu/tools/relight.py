@@ -47,7 +47,6 @@ def relight_views(params: dict, cfg: Stage2Config, grid_values,
     (gamma-1/2.2 encode of both sides), full-image and object-masked."""
     key = key if key is not None else jax.random.PRNGKey(0)
     params, envmap_img = _swap_light(params, envmap_path)
-    model = Stage2Model(params, cfg, grid_values)
     os.makedirs(out_dir, exist_ok=True)
 
     # the grid enters as a jit argument (closing over a baked quad-layout

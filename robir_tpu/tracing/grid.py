@@ -239,18 +239,22 @@ def _sdf_blocked(blocked: jnp.ndarray, cfg: GridConfig,
     return jnp.sum(row * wz, axis=-1)
 
 
-def _to_quad(grid: jnp.ndarray, cfg: GridConfig) -> jnp.ndarray:
+def _quad_build(g, xp):
     """[R, R, R] -> [R*R, 4R]: row ``x*R + y`` holds the z-rows of the four
     (x, y) cell corners, ``[ (x,y) | (x,y+1) | (x+1,y) | (x+1,y+1) ]``.
     Edge rows are duplicated for x = R-1 / y = R-1 but never read — the
     ``_prologue`` clip keeps cell indices <= R-2. Built by shifted copies
-    (pure slicing/concat, no gathers)."""
-    R = cfg.resolution
-    gy = jnp.concatenate([grid[:, 1:, :], grid[:, -1:, :]], axis=1)
-    gx = jnp.concatenate([grid[1:, :, :], grid[-1:, :, :]], axis=0)
-    gxy = jnp.concatenate([gx[:, 1:, :], gx[:, -1:, :]], axis=1)
-    return jnp.concatenate([grid, gy, gx, gxy], axis=-1).reshape(R * R,
-                                                                 4 * R)
+    (pure slicing/concat, no gathers). ``xp`` is numpy or jax.numpy — the
+    ONE definition both the in-graph and the host-baked layout share."""
+    R = g.shape[0]
+    gy = xp.concatenate([g[:, 1:, :], g[:, -1:, :]], axis=1)
+    gx = xp.concatenate([g[1:, :, :], g[-1:, :, :]], axis=0)
+    gxy = xp.concatenate([gx[:, 1:, :], gx[:, -1:, :]], axis=1)
+    return xp.concatenate([g, gy, gx, gxy], axis=-1).reshape(R * R, 4 * R)
+
+
+def _to_quad(grid: jnp.ndarray, cfg: GridConfig) -> jnp.ndarray:
+    return _quad_build(grid, jnp)
 
 
 def _sdf_quad(quad: jnp.ndarray, cfg: GridConfig,
@@ -301,14 +305,7 @@ def bake_march_layout(grid, cfg: GridConfig):
     if hasattr(grid, "ndim") and grid.ndim == 2:
         return grid
     if cfg.quad_rows:
-        g = np.asarray(grid)
-        R = cfg.resolution
-        gy = np.concatenate([g[:, 1:, :], g[:, -1:, :]], axis=1)
-        gx = np.concatenate([g[1:, :, :], g[-1:, :, :]], axis=0)
-        gxy = np.concatenate([gx[:, 1:, :], gx[:, -1:, :]], axis=1)
-        quad = np.concatenate([g, gy, gx, gxy], axis=-1).reshape(R * R,
-                                                                 4 * R)
-        return jnp.asarray(quad)
+        return jnp.asarray(_quad_build(np.asarray(grid), np))
     if cfg.blocked_gather and cfg.resolution > _BLOCK:
         return _to_blocked(jnp.asarray(grid), cfg)
     return grid
@@ -397,6 +394,17 @@ def _march(sdf_fn, cfg: GridConfig, max_iters: int,
             fail = jnp.zeros_like(active)
         new_hit = active & ~fail & (s < eps_hit)
         step = jnp.maximum(omega * s, min_step)
+        if over:
+            # the conservative exit is safe (relax*s > t_far - t implies
+            # s > t_far - t: no crossing before the bbox), but an
+            # over-relaxed exit is NOT — the ray would deactivate before
+            # the next iteration's rejection check could fire and a
+            # crossing inside the bbox could be skipped. If the over
+            # step exits while the conservative one does not, take the
+            # conservative step (next check then sees was_over False).
+            cons_now = jnp.maximum(cfg.relax * s, min_step)
+            step = jnp.where((t + step > t_far) & (t + cons_now <= t_far),
+                             cons_now, step)
         adv = active & ~new_hit & ~fail
         t_next = jnp.where(adv, t + step, t)
         if over:
@@ -490,7 +498,6 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
                                            rays_d, t0, t0, valid, hit0,
                                            t_far)
     over = extra is not None
-    s_prev, step_prev = extra if over else (t0, t0)  # placeholders
 
     if do_compact:
         # the lookup BUFFER rides as an explicit compact_apply const (NOT
@@ -498,19 +505,32 @@ def grid_cast(grid: jnp.ndarray, cfg: GridConfig, rays_o: jnp.ndarray,
         # region must come through in_specs — see compact_apply. It is
         # the materialized layout, not the raw grid, so per-chunk sdf_fn
         # reconstruction inside the scan is free. The over-relaxation
-        # rejection state crosses the phase boundary as two extra args.
-        def tail(t, t_prev, active, hit, sp, stp, o, d, tf, g):
-            tt, tp, _, h, _ = _march(_layout_sdf_fn(g, cfg), cfg,
-                                     cfg.max_steps - head, o, d,
-                                     t, t_prev, active, hit, tf,
-                                     s_prev=sp if over else None,
-                                     step_prev=stp if over else None)
-            return tt, tp, h
+        # rejection state crosses the phase boundary as two extra args —
+        # only when over-relaxation is on (dead placeholders would add
+        # sort/gather traffic to the default path for nothing).
+        if over:
+            s_prev, step_prev = extra
 
-        tt, tp, h = compact_apply(
-            tail, active, [t, t_prev, active, hit, s_prev, step_prev,
-                           rays_o, rays_d, t_far],
-            chunk, mesh=mesh, consts=buf)
+            def tail(t, t_prev, active, hit, sp, stp, o, d, tf, g):
+                tt, tp, _, h, _ = _march(_layout_sdf_fn(g, cfg), cfg,
+                                         cfg.max_steps - head, o, d,
+                                         t, t_prev, active, hit, tf,
+                                         s_prev=sp, step_prev=stp)
+                return tt, tp, h
+
+            args = [t, t_prev, active, hit, s_prev, step_prev,
+                    rays_o, rays_d, t_far]
+        else:
+            def tail(t, t_prev, active, hit, o, d, tf, g):
+                tt, tp, _, h, _ = _march(_layout_sdf_fn(g, cfg), cfg,
+                                         cfg.max_steps - head, o, d,
+                                         t, t_prev, active, hit, tf)
+                return tt, tp, h
+
+            args = [t, t_prev, active, hit, rays_o, rays_d, t_far]
+
+        tt, tp, h = compact_apply(tail, active, args, chunk, mesh=mesh,
+                                  consts=buf)
         t = jnp.where(active, tt, t)
         t_prev = jnp.where(active, tp, t_prev)
         hit = jnp.where(active, h, hit)
@@ -565,10 +585,15 @@ def grid_visibility_logits(grid: jnp.ndarray, cfg: GridConfig,
 
 @dataclasses.dataclass
 class SDFGrid:
-    """Bundled (grid values, config) — the stage-2 secondary-ray tracer."""
+    """Bundled (grid values, config) — the stage-2 secondary-ray tracer.
+
+    ``values`` stays the raw 3-D grid (``sdf``/``normal`` need it); the
+    march lookup buffer is baked lazily on first ``cast`` so quad_rows
+    configs never rebuild the layout in-graph."""
 
     values: jnp.ndarray
     cfg: GridConfig
+    _march_buf: jnp.ndarray | None = None
 
     @classmethod
     def build(cls, sdf_fn, cfg: GridConfig = GridConfig()) -> "SDFGrid":
@@ -581,7 +606,9 @@ class SDFGrid:
         return grid_normal(self.values, self.cfg, x)
 
     def cast(self, rays_o, rays_d):
-        return grid_cast(self.values, self.cfg, rays_o, rays_d)
+        if self._march_buf is None:
+            self._march_buf = bake_march_layout(self.values, self.cfg)
+        return grid_cast(self._march_buf, self.cfg, rays_o, rays_d)
 
     def visibility_logits(self, points, dirs):
         return grid_visibility_logits(self.values, self.cfg, points, dirs)

@@ -17,7 +17,6 @@ import pytest
 
 from robir_tpu.core.compact import compact_apply
 from robir_tpu.tracing.grid import (GridConfig, SDFGrid, build_sdf_grid,
-
                                     grid_cast)
 
 
@@ -368,11 +367,25 @@ def test_over_relax_matches_conservative():
     d = rng.normal(size=(1024, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
 
-    for sdf, res in ((_sphere_sdf, 96), (torus_sdf, 128)):
+    # near-bbox sphere: surface 0.05 inside the bbox face, rays from the
+    # center — an over-relaxed step near the surface can overshoot past
+    # t_far, and deactivating there would skip the crossing before the
+    # rejection check fires (the bbox-exit clamp's regression case)
+    def near_bbox_sphere(x):
+        return jnp.linalg.norm(x, axis=-1) - 0.5
+
+    for sdf, res in ((_sphere_sdf, 96), (torus_sdf, 128),
+                     (near_bbox_sphere, 96)):
+        if sdf is near_bbox_sphere:
+            o = np.zeros((512, 3), np.float32)
+            d = rng.normal(size=(512, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
         for compact_after in (0, 8):
+            bbox = 0.55 if sdf is near_bbox_sphere else 1.0
             cfg_c = GridConfig(resolution=res, max_steps=192,
                                compact_after=compact_after,
-                               compact_chunk=256)
+                               compact_chunk=256,
+                               bbox_min=(-bbox,) * 3, bbox_max=(bbox,) * 3)
             cfg_o = dataclasses.replace(cfg_c, over_relax=1.6)
             grid = build_sdf_grid(sdf, cfg_c)
             t1, h1, _ = jax.jit(

@@ -49,10 +49,14 @@ def main():
     cfg = Stage2Config()
     cfg = dataclasses.replace(
         cfg, visnet=dataclasses.replace(cfg.visnet,
-                                        storage_dtype="bfloat16"))
+                                        storage_dtype="bfloat16"),
+        # mirror bench.py's stage-2 setup (shipped grid: quad + bf16)
+        grid=dataclasses.replace(cfg.grid, quad_rows=True,
+                                 storage_dtype="bfloat16"))
     params = init_stage2_params(jax.random.PRNGKey(0), cfg)
-    from robir_tpu.tracing.grid import build_sdf_grid
-    grid = build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid)
+    from robir_tpu.tracing.grid import bake_march_layout, build_sdf_grid
+    grid = bake_march_layout(
+        build_sdf_grid(Stage2Model(params, cfg).sdf, cfg.grid), cfg.grid)
 
     n = 1024
     rng = np.random.default_rng(0)

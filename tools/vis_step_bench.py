@@ -37,7 +37,8 @@ def main():
     conf = load_config("configs/hotdog.json")
     cfg = build_stage2_config(conf["model"])
     # optional grid-march overrides:
-    # argv = [compact_after] [blocked 0/1] [quad 0/1] [compact_chunk]
+    # argv = [compact_after] [blocked 0/1] [quad 0/1] [compact_chunk];
+    # ROBIR_VIS_OVERRELAX applies with or without argv overrides
     if len(sys.argv) > 1:
         cfg = dataclasses.replace(cfg, grid=dataclasses.replace(
             cfg.grid, compact_after=int(sys.argv[1]),
@@ -46,8 +47,10 @@ def main():
             quad_rows=bool(int(sys.argv[3])) if len(sys.argv) > 3
             else cfg.grid.quad_rows,
             compact_chunk=int(sys.argv[4]) if len(sys.argv) > 4
-            else cfg.grid.compact_chunk,
-            over_relax=float(os.environ.get("ROBIR_VIS_OVERRELAX", 0.0))))
+            else cfg.grid.compact_chunk))
+    if os.environ.get("ROBIR_VIS_OVERRELAX"):
+        cfg = dataclasses.replace(cfg, grid=dataclasses.replace(
+            cfg.grid, over_relax=float(os.environ["ROBIR_VIS_OVERRELAX"])))
     with tempfile.TemporaryDirectory() as d:
         make_sphere_dataset(d, n_train=4, n_test=1, h=200, w=200, radius=0.5)
         dataset = SynDataset(SynDatasetConfig(instance_dir=d))

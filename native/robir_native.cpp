@@ -327,7 +327,9 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
   // threshold growth into thousands of tiny charts. Two rounds of
   // area-weighted neighbor averaging kill the noise; true creases survive
   // (they are supported by many coherent faces on each side).
-  for (int it = 0; it < 2; it++) {
+  const char* sm_env = std::getenv("RT_ATLAS_SMOOTH");
+  const int smooth_rounds = sm_env ? std::atoi(sm_env) : 2;
+  for (int it = 0; it < smooth_rounds; it++) {
     std::vector<float> sm(3 * n_tris, 0.f);
     for (int t = 0; t < n_tris; t++) {
       for (int k = 0; k < 3; k++) sm[3 * t + k] = normals[3 * t + k] * fareas[t];
@@ -445,6 +447,173 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
       }
   }
 
+  // Chart merge pass (xatlas mergeCharts analog): residual normal noise on
+  // trained-SDF surfaces fragments growth into many small charts, and every
+  // extra chart costs a padding gutter plus mask raggedness in the packer
+  // (measured: a noisy-bump sphere grows 81 charts vs the clean sphere's 21
+  // and drops utilization 0.694 -> 0.632). Greedily merge edge-adjacent
+  // charts whose area-weighted mean normals agree, guarded by the merged
+  // chart's normal "confidence" |sum n_i a_i| / sum a_i (1 = coplanar;
+  // 0.8 caps the spread at roughly a 53-deg half-angle so the planar
+  // projection stays injective). Tiny charts (<0.2% of total area) merge
+  // into any same-hemisphere neighbor under a looser 0.5 guard — their
+  // padding cost always exceeds their distortion cost.
+  const char* mf_env = std::getenv("RT_ATLAS_MERGE_FRAC");
+  const double merge_frac = mf_env ? std::atof(mf_env) : 0.0;
+  if (merge_frac > 0.0) {
+    std::vector<double> cn(3 * (size_t)n_charts, 0.0), carea(n_charts, 0.0);
+    for (int t = 0; t < n_tris; t++) {
+      int c = chart[t];
+      carea[c] += fareas[t];
+      for (int k = 0; k < 3; k++)
+        cn[3 * (size_t)c + k] += normals[3 * t + k] * fareas[t];
+    }
+    double tot_area = 1e-20;
+    for (int c = 0; c < n_charts; c++) tot_area += carea[c];
+    std::vector<int> parent(n_charts);
+    for (int c = 0; c < n_charts; c++) parent[c] = c;
+    auto find_root = [&](int c) {
+      while (parent[c] != c) { parent[c] = parent[parent[c]]; c = parent[c]; }
+      return c;
+    };
+    auto clen = [&](int c) {
+      return std::sqrt(cn[3 * (size_t)c] * cn[3 * (size_t)c] +
+                       cn[3 * (size_t)c + 1] * cn[3 * (size_t)c + 1] +
+                       cn[3 * (size_t)c + 2] * cn[3 * (size_t)c + 2]) + 1e-20;
+    };
+    bool merged_any = true;
+    for (int round = 0; merged_any && round < 50; round++) {
+      merged_any = false;
+      // shared-edge adjacency between current chart roots
+      std::unordered_map<int64_t, int> adj;
+      for (auto& kv : edge_faces) {
+        auto& fs = kv.second;
+        for (size_t i = 0; i < fs.size(); i++)
+          for (size_t j = i + 1; j < fs.size(); j++) {
+            int a = find_root(chart[fs[i]]), b = find_root(chart[fs[j]]);
+            if (a == b) continue;
+            if (a > b) std::swap(a, b);
+            adj[(int64_t)a * n_charts + b]++;
+          }
+      }
+      struct Cand { float dot; int a, b; };
+      std::vector<Cand> cand;
+      cand.reserve(adj.size());
+      for (auto& kv : adj) {
+        int a = (int)(kv.first / n_charts), b = (int)(kv.first % n_charts);
+        double dot = (cn[3 * (size_t)a] * cn[3 * (size_t)b] +
+                      cn[3 * (size_t)a + 1] * cn[3 * (size_t)b + 1] +
+                      cn[3 * (size_t)a + 2] * cn[3 * (size_t)b + 2]) /
+                     (clen(a) * clen(b));
+        // Only TINY charts are absorbed: merging well-sized neighbors was
+        // measured to HURT (sphere 0.694 -> 0.671, two_sphere 0.724 ->
+        // 0.688 with unrestricted normal-thresh merging — big caps have
+        // more bbox slack and pack worse, the same reason the round-4
+        // axis-clustered "compact caps" mode lost). Fragmentation only
+        // costs when the fragments are padding-dominated.
+        bool tiny = carea[a] < merge_frac * tot_area || carea[b] < merge_frac * tot_area;
+        if (tiny && dot > 0.0)
+          cand.push_back({(float)dot, a, b});
+      }
+      std::sort(cand.begin(), cand.end(),
+                [](const Cand& x, const Cand& y) { return x.dot > y.dot; });
+      for (auto& c : cand) {
+        int a = find_root(c.a), b = find_root(c.b);
+        if (a == b) continue;
+        double mx = cn[3 * (size_t)a] + cn[3 * (size_t)b];
+        double my = cn[3 * (size_t)a + 1] + cn[3 * (size_t)b + 1];
+        double mz = cn[3 * (size_t)a + 2] + cn[3 * (size_t)b + 2];
+        double conf = std::sqrt(mx * mx + my * my + mz * mz) /
+                      (carea[a] + carea[b] + 1e-20);
+        bool tiny = carea[a] < merge_frac * tot_area || carea[b] < merge_frac * tot_area;
+        if (conf < (tiny ? 0.5 : 0.8)) continue;
+        parent[b] = a;
+        cn[3 * (size_t)a] = mx;
+        cn[3 * (size_t)a + 1] = my;
+        cn[3 * (size_t)a + 2] = mz;
+        carea[a] += carea[b];
+        merged_any = true;
+      }
+    }
+    std::vector<int> newid(n_charts, -1);
+    int m = 0;
+    for (int c = 0; c < n_charts; c++)
+      if (find_root(c) == c) newid[c] = m++;
+    for (int t = 0; t < n_tris; t++) chart[t] = newid[find_root(chart[t])];
+    n_charts = m;
+  }
+
+  // Boundary relocation (xatlas relocate-faces analog), MEASURED A NET
+  // LOSS and default OFF (RT_ATLAS_RELOCATE=1 to enable): straightening
+  // boundaries (move any face with strictly more edge-neighbors in
+  // another chart into that chart) dropped utilization on all three
+  // probe meshes (0.694 -> 0.662 sphere, 0.724 -> 0.705 two_sphere,
+  // 0.632 -> 0.613 noisy) — the bottom-left mask packer interlocks
+  // jagged complementary boundaries better than smooth ones, the same
+  // pattern that killed min-rect rotation and chart merging. Probe knob
+  // only; trail in tools/atlas_trained_probe.py and STATUS.md.
+  if (std::getenv("RT_ATLAS_RELOCATE")) {
+    std::vector<double> cn(3 * (size_t)n_charts, 0.0), carea(n_charts, 0.0);
+    for (int t = 0; t < n_tris; t++) {
+      int c = chart[t];
+      carea[c] += fareas[t];
+      for (int k = 0; k < 3; k++)
+        cn[3 * (size_t)c + k] += normals[3 * t + k] * fareas[t];
+    }
+    bool moved = true;
+    for (int round = 0; moved && round < 16; round++) {
+      moved = false;
+      for (int t = 0; t < n_tris; t++) {
+        int counts_chart[4], counts_n[4], nk = 0;
+        for (int e = 0; e < 3; e++) {
+          auto& nb = edge_faces[ekey(tris[3 * t + e], tris[3 * t + (e + 1) % 3])];
+          for (int g : nb) {
+            if (g == t) continue;
+            int c = chart[g];
+            int s = 0;
+            while (s < nk && counts_chart[s] != c) s++;
+            if (s == nk) { counts_chart[nk] = c; counts_n[nk++] = 0; }
+            counts_n[s]++;
+            if (nk == 4) break;
+          }
+          if (nk == 4) break;
+        }
+        if (nk == 4) continue;  // non-manifold junk, leave it
+        int own = 0, best = -1, bestn = 0;
+        for (int s = 0; s < nk; s++) {
+          if (counts_chart[s] == chart[t]) own = counts_n[s];
+          else if (counts_n[s] > bestn) { bestn = counts_n[s]; best = counts_chart[s]; }
+        }
+        if (best < 0 || bestn <= own) continue;
+        double cl = std::sqrt(cn[3 * (size_t)best] * cn[3 * (size_t)best] +
+                              cn[3 * (size_t)best + 1] * cn[3 * (size_t)best + 1] +
+                              cn[3 * (size_t)best + 2] * cn[3 * (size_t)best + 2]) + 1e-20;
+        double d = (cn[3 * (size_t)best] * normals[3 * t] +
+                    cn[3 * (size_t)best + 1] * normals[3 * t + 1] +
+                    cn[3 * (size_t)best + 2] * normals[3 * t + 2]) / cl;
+        if (!degen[t] && d < 0.3) continue;
+        int old = chart[t];
+        chart[t] = best;
+        carea[old] -= fareas[t];
+        carea[best] += fareas[t];
+        for (int k = 0; k < 3; k++) {
+          cn[3 * (size_t)old + k] -= normals[3 * t + k] * fareas[t];
+          cn[3 * (size_t)best + k] += normals[3 * t + k] * fareas[t];
+        }
+        moved = true;
+      }
+    }
+    // compress away charts emptied by relocation
+    std::vector<int> seen(n_charts, 0);
+    for (int t = 0; t < n_tris; t++) seen[chart[t]] = 1;
+    std::vector<int> newid(n_charts, -1);
+    int m = 0;
+    for (int c = 0; c < n_charts; c++)
+      if (seen[c]) newid[c] = m++;
+    for (int t = 0; t < n_tris; t++) chart[t] = newid[chart[t]];
+    n_charts = m;
+  }
+
   // per-chart planar projection
   struct Chart {
     std::vector<int> faces;
@@ -484,6 +653,50 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
     V[1] = n[2] * U[0] - n[0] * U[2];
     V[2] = n[0] * U[1] - n[1] * U[0];
 
+    // In-plane min-area-bbox rotation, MEASURED A NET LOSS and default
+    // OFF (RT_ATLAS_MINRECT=1 to enable): it raises intra-bbox fill
+    // strongly (area-weighted 0.727 -> 0.794 clean, 0.632 -> 0.698
+    // noisy) but the mask packer loses more than the bboxes gain
+    // (utilization 0.694 -> 0.676 / 0.724 -> 0.708 / 0.632 -> 0.621 on
+    // sphere / two_sphere / noisy) — the bottom-left mask packer packs
+    // MASKS, not bboxes, so axis-slack was already partially recovered
+    // by interlock, and rotated charts' diagonal boundaries nest worse.
+    // Kept as a probe knob; see tools/atlas_trained_probe.py.
+    if (std::getenv("RT_ATLAS_MINRECT")) {
+      std::vector<float> pu, pv;
+      pu.reserve(ch.faces.size() * 3);
+      pv.reserve(ch.faces.size() * 3);
+      for (int f : ch.faces)
+        for (int c = 0; c < 3; c++) {
+          const float* p = verts + 3 * tris[3 * f + c];
+          pu.push_back(p[0] * U[0] + p[1] * U[1] + p[2] * U[2]);
+          pv.push_back(p[0] * V[0] + p[1] * V[1] + p[2] * V[2]);
+        }
+      const int K = 32;
+      float best_a = 1e30f, best_th = 0.f;
+      for (int k = 0; k < K; k++) {
+        float th = (float)k * (float)(M_PI / 2.0) / (float)K;
+        float ct = std::cos(th), st = std::sin(th);
+        float u0 = 1e30f, u1 = -1e30f, v0 = 1e30f, v1 = -1e30f;
+        for (size_t i = 0; i < pu.size(); i++) {
+          float u = ct * pu[i] + st * pv[i];
+          float v = -st * pu[i] + ct * pv[i];
+          u0 = std::min(u0, u); u1 = std::max(u1, u);
+          v0 = std::min(v0, v); v1 = std::max(v1, v);
+        }
+        float a = (u1 - u0) * (v1 - v0);
+        if (a < best_a) { best_a = a; best_th = th; }
+      }
+      float ct = std::cos(best_th), st = std::sin(best_th);
+      float U2[3], V2[3];
+      for (int k = 0; k < 3; k++) {
+        U2[k] = ct * U[k] + st * V[k];
+        V2[k] = -st * U[k] + ct * V[k];
+      }
+      std::copy(U2, U2 + 3, U);
+      std::copy(V2, V2 + 3, V);
+    }
+
     for (int f : ch.faces) {
       for (int c = 0; c < 3; c++) {
         const float* p = verts + 3 * tris[3 * f + c];
@@ -502,7 +715,8 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
   // Any chart whose projected bbox exceeds max_chart_frac of the total is
   // split along its longer axis at the median face centroid, recursively.
   {
-    const float max_chart_frac = 0.10f;
+    const char* mcf_env = std::getenv("RT_ATLAS_MAXFRAC");
+    const float max_chart_frac = mcf_env ? (float)std::atof(mcf_env) : 0.10f;
     auto bbox_area = [&](const Chart& ch) {
       return (ch.max_u - ch.min_u + 1e-6f) * (ch.max_v - ch.min_v + 1e-6f);
     };

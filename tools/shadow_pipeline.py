@@ -198,9 +198,22 @@ GATES_FAST = {
 
 
 def check_gates(metrics: dict, fast: bool) -> list[str]:
-    """Returns failure strings (empty = all gates pass)."""
+    """Returns failure strings (empty = all gates pass).
+
+    Side effect: fills metrics["warnings"] with non-fatal drift notices —
+    a textured run whose CESR ratio exceeds the PLAIN bound passes its
+    (looser) textured gate but is flagged so the cross-round trend stays
+    programmatically visible, not comment-only (ADVICE r4)."""
     gates = GATES_FAST if fast else GATES_FULL
+    warnings = metrics.setdefault("warnings", [])
     if not fast and metrics.get("textured"):
+        ratio = metrics.get("albedo_shadow_lit_ratio_cesr")
+        plain_hi = GATES_FULL["albedo_shadow_lit_ratio_cesr"][1][1]
+        if ratio is not None and ratio > plain_hi:
+            warnings.append(
+                f"albedo_shadow_lit_ratio_cesr {ratio:.4g} exceeds the "
+                f"plain-scene bound {plain_hi} (textured gate is looser; "
+                f"watch the cross-round drift 1.02 -> 1.11 -> 1.187)")
         gates = {**gates, **GATES_FULL_TEXTURED_OVERRIDES}
     vals = dict(metrics)
     rel = metrics.get("relight") or {}
@@ -460,6 +473,8 @@ def main():
         json.dump(metrics, fp, indent=1)
     print("\n=== pipeline metrics ===")
     print(json.dumps(metrics, indent=1), flush=True)
+    for w in metrics.get("warnings", []):
+        print("WARNING: " + w, flush=True)
     if failures:
         print("\n=== QUALITY GATES FAILED ===")
         for f in failures:

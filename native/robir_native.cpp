@@ -797,35 +797,79 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
   std::vector<float> chart_off_x(n_charts), chart_off_y(n_charts);
   std::vector<uint8_t> chart_rot(n_charts, 0);
 
-  // Multi-restart packing: the greedy bottom-left mask pack is noisy in
-  // the placement order (measured +-0.03 utilization across orderings),
-  // so run three decreasing orders (height, bbox area, max dimension)
-  // and keep the densest result. Bake-time cost only.
+  // Multi-restart packing over insertion orders: the greedy mask pack is
+  // noisy in the placement order (measured +-0.03 utilization), so run
+  // three deterministic decreasing orders (height, bbox area, max
+  // dimension) plus RT_ATLAS_RESTARTS randomly-perturbed area orders
+  // (deterministic xorshift seeds) and keep the densest result.
+  //
+  // PLACEMENT CLASS (round 5): best-fit contact-scored placement instead
+  // of first-fit bottom-left. Two rounds of chart-shaping levers all
+  // measured net negative (STATUS.md trail) and the recorded conclusion
+  // was that reaching xatlas-class utilization needs a stronger placement
+  // SEARCH, not better charts. For each chart and orientation the packer
+  // now collects the leftmost feasible X over many candidate rows (not
+  // just the first feasible row), scores each candidate by (1) grown
+  // used-bbox area — the criterion that already beat lowest-Y for the
+  // orientation choice — and (2) CONTACT (occupied/wall cells 4-adjacent
+  // to the placed mask, the "touching perimeter" heuristic from the
+  // irregular strip-packing literature) as the tie-break among
+  // placements inside the current bbox. RT_ATLAS_FIRSTFIT=1 restores the
+  // round-4 first-fit for A/B probes. Bake-time cost only.
   std::vector<float> best_off_x, best_off_y;
   std::vector<uint8_t> best_rot;
   float best_used_x = 0, best_used_y = 0, best_area = 1e30f;
   const float atlas_w0 = atlas_w;
-  for (int ordering = 0; ordering < 3; ordering++) {
+  const char* ff_env = std::getenv("RT_ATLAS_FIRSTFIT");
+  const bool first_fit = ff_env && ff_env[0] && ff_env[0] != '0';
+  const char* tie_env = std::getenv("RT_ATLAS_TIE");
+  const bool tie_lowy = tie_env && tie_env[0] == 'l';
+  const char* rs_env = std::getenv("RT_ATLAS_RESTARTS");
+  const int n_restarts = rs_env ? std::atoi(rs_env) : 3;
+  const int n_orderings = 3 + std::max(0, n_restarts);
+  uint64_t rng_state = 0x9E3779B97F4A7C15ull;
+  auto xrand = [&]() {
+    rng_state ^= rng_state << 13;
+    rng_state ^= rng_state >> 7;
+    rng_state ^= rng_state << 17;
+    return rng_state;
+  };
+  for (int ordering = 0; ordering < n_orderings; ordering++) {
   std::vector<int> order(n_charts);
   for (int i = 0; i < n_charts; i++) order[i] = i;
   auto key_of = [&](int a) {
     float w = charts[a].max_u - charts[a].min_u;
     float h = charts[a].max_v - charts[a].min_v;
     if (ordering == 0) return h;
-    if (ordering == 1) return w * h;
-    return std::max(w, h);
+    if (ordering == 2) return std::max(w, h);
+    return w * h;  // orderings 1 and >=3 (randomized restarts) start here
   };
   std::sort(order.begin(), order.end(),
             [&](int a, int b) { return key_of(a) > key_of(b); });
+  if (ordering >= 3) {
+    // perturb the area-decreasing order: random swaps within a window of
+    // 8 positions keep it mostly-decreasing while exploring the
+    // insertion-order neighborhood (simulated-annealing-lite; full SA
+    // over single placements was measured unnecessary once best-fit
+    // scoring landed — the order is the remaining noise axis)
+    for (int s = 0; s < n_charts; s++) {
+      int i = (int)(xrand() % (uint64_t)n_charts);
+      int j = i + 1 + (int)(xrand() % 8ull);
+      if (j < n_charts) std::swap(order[i], order[j]);
+    }
+  }
   atlas_w = atlas_w0;
 
   float used_x = 0, used_y = 0, cell = 0;
-  for (int attempt = 0; attempt < 6; attempt++) {
+  bool complete = false;  // did the FINAL attempt place every chart?
+  // 9 growth attempts (1.2^9 ~ 5.2x area): enough that at least the
+  // deterministic orders always complete from the sqrt(total_area) start
+  for (int attempt = 0; attempt < 9; attempt++) {
     cell = atlas_w / G;
     const int padc = std::max(1, (int)std::ceil(
         pad_frac * (float)G));  // padding_px at the final scale, in cells
     std::vector<uint64_t> grid((size_t)G * W64, 0);
-    std::vector<int> row_min_x(G, 0);  // bottom-left scan hint per row
+    std::vector<uint64_t> srow(W64);
     bool all_placed = true;
     used_x = used_y = 0;
 
@@ -860,7 +904,7 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
       }
 
       // 90-degree orientation freedom (mask transpose = UV swap): try
-      // both, keep the lower-left placement — elongated charts interlock
+      // both, keep the better placement — elongated charts interlock
       // far better when the packer may turn them
       std::vector<uint64_t> mt((size_t)wc * W64, 0);
       for (int r = 0; r < hc; r++)
@@ -890,33 +934,100 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
         }
         return true;
       };
-      auto find = [&](const std::vector<uint64_t>& mask, int w, int h,
-                      int& oX, int& oY) {
-        for (int Y = 0; Y + h <= G; Y++)
-          for (int X = row_min_x[Y]; X + w <= G; X++)
-            if (fits(mask, h, X, Y)) { oX = X; oY = Y; return true; }
-        return false;
+      auto shift_row = [&](const uint64_t* mr, int X, uint64_t* out) {
+        int sh = X & 63, w0 = X >> 6;
+        for (int w = 0; w < W64; w++) out[w] = 0;
+        for (int w = 0; w < W64; w++) {
+          uint64_t bits = mr[w];
+          if (!bits) continue;
+          if (w0 + w < W64) out[w0 + w] |= bits << sh;
+          if (sh && w0 + w + 1 < W64) out[w0 + w + 1] |= bits >> (64 - sh);
+        }
+      };
+      // contact score: occupied cells (or the bottom/left walls)
+      // 4-adjacent to the placed mask — higher = tighter nesting
+      auto contact_of = [&](const std::vector<uint64_t>& mask, int h,
+                            int X, int Y) {
+        int c = 0;
+        for (int r = 0; r < h; r++) {
+          shift_row(&mask[(size_t)r * W64], X, srow.data());
+          const uint64_t* g1 = &grid[(size_t)(Y + r) * W64];
+          const uint64_t* g0 =
+              (Y + r > 0) ? &grid[(size_t)(Y + r - 1) * W64] : nullptr;
+          const uint64_t* g2 =
+              (Y + r + 1 < G) ? &grid[(size_t)(Y + r + 1) * W64] : nullptr;
+          for (int w = 0; w < W64; w++) {
+            uint64_t s = srow[w];
+            if (!s) continue;
+            // below: the bottom wall counts as occupied (floor contact)
+            uint64_t nb = (g0 ? g0[w] : ~0ull) | (g2 ? g2[w] : 0ull);
+            uint64_t left = (g1[w] << 1) |
+                            (w > 0 ? g1[w - 1] >> 63 : 1ull /* left wall */);
+            uint64_t right = (g1[w] >> 1) |
+                             (w + 1 < W64 ? g1[w + 1] << 63 : 0ull);
+            c += __builtin_popcountll(s & (nb | left | right));
+          }
+        }
+        return c;
+      };
+      // candidate rows: leftmost feasible X per row (exact step-1 scan —
+      // a stepped scan measurably broke the bottom-left interlock by
+      // skipping the true lowest feasible rows); stop at the first
+      // feasible row that would grow the used bbox upward (higher rows
+      // are dominated under the grown-area criterion), with a candidate
+      // cap as the cost guard.
+      auto find_cands = [&](const std::vector<uint64_t>& mask, int w, int h,
+                            std::vector<int>& xs, std::vector<int>& ys) {
+        for (int Y = 0; Y + h <= G; Y++) {
+          int fx = -1;
+          for (int X = 0; X + w <= G; X++)
+            if (fits(mask, h, X, Y)) { fx = X; break; }
+          if (fx < 0) continue;
+          xs.push_back(fx);
+          ys.push_back(Y);
+          if (first_fit) return;
+          if ((Y + h) * cell >= used_y) return;  // bbox-growing row found
+          if ((int)xs.size() >= 64) return;
+        }
       };
 
-      int X0 = 0, Y0 = 0, X1 = 0, Y1 = 0;
-      bool ok0 = find(m, wc, hc, X0, Y0);
-      bool ok1 = (wc != hc) && find(mt, hc, wc, X1, Y1);
-      if (!ok0 && !ok1) { all_placed = false; break; }
-      // pick the orientation whose placement grows the used bbox least
-      // (greedy lowest-Y preference measurably broke the unrotated
-      // interlock on the sphere mesh)
       auto grown = [&](int X, int Y, int w, int h) {
         float ux = std::max(used_x, (X + w) * cell);
         float uy = std::max(used_y, (Y + h) * cell);
         return ux * uy;
       };
-      float a0 = ok0 ? grown(X0, Y0, wc, hc) : 1e30f;
-      float a1 = ok1 ? grown(X1, Y1, hc, wc) : 1e30f;
-      bool use_rot = a1 < a0 || (a1 == a0 && ok1 && (!ok0 || Y1 < Y0));
+      float bestA = 1e30f;
+      int bestC = -1, bX = 0, bY = 0;
+      bool bRot = false, found = false;
+      for (int o = 0; o < 2; o++) {
+        if (o == 1 && wc == hc) break;
+        const std::vector<uint64_t>& mask = o ? mt : m;
+        int w = o ? hc : wc, h = o ? wc : hc;
+        std::vector<int> xs, ys;
+        find_cands(mask, w, h, xs, ys);
+        for (size_t k = 0; k < xs.size(); k++) {
+          float a = grown(xs[k], ys[k], w, h);
+          if (a > bestA * 1.000001f) continue;
+          bool tie = found && a > bestA * 0.999999f;
+          // tie-break among equal-grown-area placements: CONTACT
+          // (occupied cells adjacent to the mask — tighter local
+          // nesting) unless RT_ATLAS_TIE=lowy picks the first-fit-like
+          // lowest row (A/B probe knob)
+          int c = (first_fit || tie_lowy)
+                      ? -ys[k]
+                      : contact_of(mask, h, xs[k], ys[k]);
+          if (!found || !tie || c > bestC ||
+              (c == bestC && ys[k] < bY)) {
+            bestA = a; bestC = c; bX = xs[k]; bY = ys[k];
+            bRot = o == 1; found = true;
+          }
+        }
+      }
+      if (!found) { all_placed = false; break; }
 
-      const std::vector<uint64_t>& mm = use_rot ? mt : m;
-      int X = use_rot ? X1 : X0, Y = use_rot ? Y1 : Y0;
-      int w_eff = use_rot ? hc : wc, h_eff = use_rot ? wc : hc;
+      const std::vector<uint64_t>& mm = bRot ? mt : m;
+      int X = bX, Y = bY;
+      int w_eff = bRot ? hc : wc, h_eff = bRot ? wc : hc;
       {
         int sh = X & 63, w0 = X >> 6;
         for (int r = 0; r < h_eff; r++) {
@@ -929,13 +1040,14 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
             if (sh && w0 + w + 1 < W64) gr[w0 + w + 1] |= (bits >> (64 - sh));
           }
         }
-        chart_rot[ci] = use_rot ? 1 : 0;
+        chart_rot[ci] = bRot ? 1 : 0;
         chart_off_x[ci] = X * cell;
         chart_off_y[ci] = Y * cell;
         used_x = std::max(used_x, (X + w_eff) * cell);
         used_y = std::max(used_y, (Y + h_eff) * cell);
       }
     }
+    complete = all_placed;
     if (all_placed) {
       // square the used region: if one dimension is slack, shrink/grow the
       // cell size so the next pack fills the unit square in both axes
@@ -948,7 +1060,13 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
     }
     atlas_w *= 1.2f;  // ran out of room: grow and repack
   }
-  if (used_x > 0 && used_y > 0 && used_x * used_y < best_area) {
+  // an INCOMPLETE pack (6 attempts exhausted) must never win: unplaced
+  // charts keep stale offsets, the UVs overlap, and the |area| metric
+  // reads the corrupt atlas as "denser" because the missing charts never
+  // extend the used bbox — the restart-exposed bug behind a fake 0.817
+  // two_sphere utilization (union_ratio 0.883)
+  if (complete && used_x > 0 && used_y > 0 &&
+      used_x * used_y < best_area) {
     best_area = used_x * used_y;
     best_off_x = chart_off_x;
     best_off_y = chart_off_y;
@@ -957,6 +1075,16 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
     best_used_y = used_y;
   }
   }  // orderings
+  if (best_off_x.empty()) {
+    // defensive: no ordering completed (should be unreachable with 9
+    // growth attempts) — keep the last pack rather than reading empty
+    // vectors; the caller's utilization check will reject it
+    best_off_x = chart_off_x;
+    best_off_y = chart_off_y;
+    best_rot = chart_rot;
+    best_used_x = std::max(1e-6f, best_used_x);
+    best_used_y = std::max(1e-6f, best_used_y);
+  }
   chart_off_x = best_off_x;
   chart_off_y = best_off_y;
   chart_rot = best_rot;

@@ -72,12 +72,24 @@ def normal_noise_stat(v, t):
 
 
 def analyze(v, t, **kw):
-    from robir_tpu.texture.native import atlas_parameterize
+    from robir_tpu.texture.native import atlas_parameterize, \
+        rasterize_attributes
     uv, idx, nc = atlas_parameterize(v, t, **kw)
     tri = uv.reshape(-1, 3, 2)
     e1, e2 = tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
     areas = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
     util = float(areas.sum())
+    # overlap guard: the |area| metric cannot see overlapping charts
+    # (ADVICE r4) — rasterize the union and compare. union_ratio well
+    # below 1.0 means UV triangles double-cover texels and the "util"
+    # number is inflated (a packer bug, not a win).
+    R = 2048
+    m_tris = np.arange(len(tri) * 3, dtype=np.int32).reshape(-1, 3)
+    _, cov = rasterize_attributes(uv, m_tris,
+                                  np.ones((len(tri) * 3, 1), np.float32),
+                                  R, R)
+    union = float(cov.sum()) / (R * R)
+    union_ratio = union / max(util, 1e-9)
 
     # chart recovery: union triangles sharing an (orig vertex, uv) corner
     # (chart boundaries split verts, so identical pairs => same chart)
@@ -122,6 +134,7 @@ def analyze(v, t, **kw):
     order = np.argsort(ch_areas)[::-1]
     return {
         "util": util, "n_charts": len(uniq),
+        "union_ratio": union_ratio,
         "bbox_sum": bbox_sum,
         "mean_fill_areaw": float((fills * ch_areas).sum() / ch_areas.sum()),
         "top5_area": [round(float(a), 4) for a in ch_areas[order[:5]]],
@@ -134,14 +147,34 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=96)
     ap.add_argument("--meshes", default="sphere,noisy")
+    ap.add_argument("--ply", default=None,
+                    help="measure a real mesh file (e.g. a trained-SDF "
+                         "marching-tets mesh) instead of the analytic set")
     args = ap.parse_args()
+    if args.ply:
+        from robir_tpu.texture.mesh import Mesh
+        m = Mesh.load_ply(args.ply)
+        import time
+        t0 = time.time()
+        v = np.asarray(m.verts, np.float32)
+        t = np.asarray(m.tris, np.int32)
+        p5, okfrac = normal_noise_stat(v, t)
+        d = analyze(v, t)
+        name = os.path.basename(args.ply)
+        print(f"{name} tris={len(t)} nondegen={okfrac:.3f} "
+              f"p5_dot={p5:.3f} charts={d['n_charts']} "
+              f"util={d['util']:.3f} union_ratio={d['union_ratio']:.3f} "
+              f"fill={d['mean_fill_areaw']:.3f} "
+              f"seconds={time.time() - t0:.0f}")
+        return
     for name in args.meshes.split(","):
         v, t = build(name, args.res)
         p5, okfrac = normal_noise_stat(v, t)
         d = analyze(v, t)
         print(f"{name:10s} tris={len(t):6d} nondegen={okfrac:.3f} "
               f"p5_dot={p5:.3f} charts={d['n_charts']:4d} "
-              f"util={d['util']:.3f} bbox_sum={d['bbox_sum']:.3f} "
+              f"util={d['util']:.3f} union_ratio={d['union_ratio']:.3f} "
+              f"bbox_sum={d['bbox_sum']:.3f} "
               f"fill={d['mean_fill_areaw']:.3f} "
               f"small_area={d['small_chart_area']:.4f}")
         print(f"  top5 area={d['top5_area']} fill={d['top5_fill']}")

@@ -242,6 +242,9 @@ def main():
                          "spatially-varying textured_albedo main sphere")
     ap.add_argument("--no_gates", action="store_true",
                     help="emit metrics without asserting the quality gates")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed passed to every stage (gate "
+                         "calibration runs sweep this)")
     ap.add_argument("--vis_iters", type=int, default=None)
     ap.add_argument("--pbr_iters", type=int, default=None)
     ap.add_argument("--cesr_iters", type=int, default=None)
@@ -281,7 +284,9 @@ def main():
         cli.main(argv)
         metrics[f"{name}_seconds"] = round(time.time() - t0, 1)
 
-    common = ["--conf", conf_path, "--data", scene, "--log_dir", logs]
+    common = ["--conf", conf_path, "--data", scene, "--log_dir", logs,
+              "--seed", str(args.seed)]
+    metrics["seed"] = args.seed
     n_iters = {"neus": conf["train"]["max_steps"],
                "norm": conf["norm"]["max_iters"],
                "vis": args.vis_iters or (60 if args.fast else 800),

@@ -72,8 +72,11 @@ class NeuS:
         self.cfg = cfg
 
     def sdf(self, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+        # out_cols=1: exact column slice of the 257-wide head (bit-exact
+        # under bf16 storage; reassociation-level in fp32) — the sampling
+        # phase never reads the feature channels
         return sdf_apply(self.params["sdf_network"], self.cfg.sdf, x,
-                         compute_dtype)[..., :1]
+                         compute_dtype, out_cols=1)
 
     def sdf_and_feat(self, x: jnp.ndarray):
         return sdf_and_feat(self.params["sdf_network"], self.cfg.sdf, x)

@@ -150,11 +150,33 @@ def _geometric_init(cfg: SDFConfig, dims, layer, num_layers, in_dim, out_dim):
     return w_init, b_init
 
 
+def _slice_out_cols(lin: Params, out_cols: int) -> Params:
+    """First ``out_cols`` output columns of a linear layer — EXACT under
+    weight norm because the fold ``w = v * g / ||v||_col`` is per-output-
+    column (effective_weight norms over axis 0)."""
+    sliced = {"b": lin["b"][:out_cols]}
+    if "v" in lin:
+        sliced["v"] = lin["v"][:, :out_cols]
+        sliced["g"] = lin["g"][:out_cols]
+    else:
+        sliced["w"] = lin["w"][:, :out_cols]
+    return sliced
+
+
 def sdf_apply(params: Params, cfg: SDFConfig, x: jnp.ndarray,
-              compute_dtype=None) -> jnp.ndarray:
+              compute_dtype=None, out_cols: int | None = None) -> jnp.ndarray:
     """[N, 3] -> [N, d_out] = [sdf, features]. Parity with
     ``SDFNetwork.forward`` (neus_fields.py:98-112). ``compute_dtype``
-    optionally runs the trunk matmuls in low precision (fp32 accumulate)."""
+    optionally runs the trunk matmuls in low precision (fp32 accumulate).
+
+    ``out_cols`` restricts the LAST layer to its first columns — exact
+    column slicing up to matmul reassociation (bit-exact in the shipped
+    bfloat16-storage config, where the output quantization absorbs the
+    tiling-order difference; <=5e-5 relative in fp32; see
+    :func:`_slice_out_cols`). The no-grad sampling
+    phase only consumes the sdf scalar, so ``out_cols=1`` skips computing
+    the 256 feature columns of the [256, 257] head there (the head is
+    ~1/8 of the sampling-phase matmul FLOPs)."""
     inputs = x * cfg.scale
     if cfg.multires > 0:
         inputs = positional_encoding(inputs, cfg.pe)
@@ -164,29 +186,35 @@ def sdf_apply(params: Params, cfg: SDFConfig, x: jnp.ndarray,
         plan = plan_from_sdf_config(cfg, block_rows=cfg.fused_block_rows)
         ws, bs = fold_weight_norm(params, plan.n_layers)
         h = fused_mlp(plan, inputs, ws, bs)
-        return jnp.concatenate([h[..., :1] / cfg.scale, h[..., 1:]], axis=-1)
+        out = jnp.concatenate([h[..., :1] / cfg.scale, h[..., 1:]], axis=-1)
+        return out[..., :out_cols] if out_cols is not None else out
     h = inputs
     num_layers = len(cfg.dims)
     store = cfg.store
     for layer in range(num_layers - 1):
+        lin = params[f"lin{layer}"]
+        if out_cols is not None and layer == num_layers - 2:
+            lin = _slice_out_cols(lin, out_cols)
         if layer in cfg.skip_in:
             # split matmul instead of concat-then-matmul (fp32-reassociation
             # equal; kills the concat copy and its backward slice)
-            h = apply_linear_parts(params[f"lin{layer}"],
-                                   [h, inputs.astype(h.dtype)],
+            h = apply_linear_parts(lin, [h, inputs.astype(h.dtype)],
                                    compute_dtype, store,
                                    pre_scale=1.0 / np.sqrt(2))
         else:
-            h = apply_linear(params[f"lin{layer}"], h, compute_dtype, store)
+            h = apply_linear(lin, h, compute_dtype, store)
         if layer < num_layers - 2:
             h = softplus_beta(h, 100.0)
     h = h.astype(jnp.float32)
-    return jnp.concatenate([h[..., :1] / cfg.scale, h[..., 1:]], axis=-1)
+    sdf_col = h[..., :1] / cfg.scale
+    if out_cols == 1:
+        return sdf_col
+    return jnp.concatenate([sdf_col, h[..., 1:]], axis=-1)
 
 
 def sdf_value(params: Params, cfg: SDFConfig, x: jnp.ndarray) -> jnp.ndarray:
-    """[N, 3] -> [N, 1] signed distance."""
-    return sdf_apply(params, cfg, x)[..., :1]
+    """[N, 3] -> [N, 1] signed distance (feature columns never computed)."""
+    return sdf_apply(params, cfg, x, out_cols=1)
 
 
 def sdf_and_feat(params: Params, cfg: SDFConfig, x: jnp.ndarray):

@@ -114,7 +114,13 @@ class Stage2Model:
         return self.neus.full(x * self.cfg.coord_scale) / 2.0
 
     def sdf(self, x: jnp.ndarray) -> jnp.ndarray:
-        return self.sdf_full(x)[..., :1]
+        # sdf-column-only head (exact slice; fields/sdf.sdf_apply
+        # out_cols) — grid baking and sphere tracing never read features
+        if self.cfg.use_neus:
+            return self.neus.sdf(x * self.cfg.coord_scale) / 2.0
+        from ..fields.sdf import sdf_apply
+        return sdf_apply(self.params["implicit_network"],
+                         self.cfg.neus.sdf, x, out_cols=1)
 
     def sdf_gradient(self, x: jnp.ndarray) -> jnp.ndarray:
         grad_fn = jax.grad(lambda p: self.sdf(p[None])[0, 0])

@@ -183,17 +183,19 @@ GATES_FULL_TEXTURED_OVERRIDES = {
     "albedo_shadow_lit_ratio_cesr": ("range", (0.90, 1.25)),
     "relit_psnr_masked": (">=", 17.5),
 }
-# Fast-mode calibration (measured this round on the CPU mesh): the vis
-# net at 60-800 iters scores lit-confidence 0.19 / 0.26 / 0.37 — only the
-# full schedule separates lit from occluded — so fast gates the metric as
-# an emission/finite sanity floor, not a discrimination bar. Albedo PSNR
-# measured 17.0-17.4, relit PSNR 9.8-10.1, mesh err 0.075 across runs.
+# Fast-mode calibration, round 5: three seeds (0/1/2) on the CPU mesh
+# measured mesh_err 0.057-0.075, albedo PSNR 16.5-17.7, CESR ratio
+# 1.023-1.028, relit-masked 9.1-11.3, vis lit-conf 0.21-0.51. Bounds sit
+# ~15% beyond the worst seed (VERDICT r4 next #8) so the fast lane
+# catches gross pipeline breakage (the r4 mesh-coordinate-bug class)
+# without flaking; vis stays an emission floor — the fast schedule does
+# not discriminate lit/occluded (that's a full-schedule property).
 GATES_FAST = {
     "vis_mean_at_lit_front": (">=", 0.10),
-    "albedo_shadow_lit_ratio_cesr": ("range", (0.4, 2.5)),
+    "albedo_shadow_lit_ratio_cesr": ("range", (0.6, 1.8)),
     "relit_psnr_masked": (">=", 8.0),
-    "albedo_psnr_cesr": (">=", 12.0),
-    "mesh_err_median": ("<=", 0.10),
+    "albedo_psnr_cesr": (">=", 14.0),
+    "mesh_err_median": ("<=", 0.085),
 }
 
 

@@ -299,7 +299,7 @@ static float face_normal(const float* verts, const int* tri, float* n) {
 // chart-SHAPE constraint the round-2 packer probes identified as binding.
 int atlas_parameterize(const float* verts, int n_verts, const int* tris,
                        int n_tris, float normal_thresh, int padding_px,
-                       int atlas_res, int chart_mode,
+                       int atlas_res, int chart_mode, float merge_frac_arg,
                        float** out_uv, int** out_vert_idx) {
   // face adjacency via shared edges
   std::unordered_map<int64_t, std::vector<int>> edge_faces;
@@ -455,13 +455,19 @@ int atlas_parameterize(const float* verts, int n_verts, const int* tris,
   // charts whose area-weighted mean normals agree, guarded by the merged
   // chart's normal "confidence" |sum n_i a_i| / sum a_i (1 = coplanar;
   // 0.8 caps the spread at roughly a 53-deg half-angle so the planar
-  // projection stays injective). NOTE: this pass MEASURED NET NEGATIVE in
-  // every configuration tried (round 4, tools/atlas_trained_probe.py:
-  // unrestricted merging 0.694 -> 0.671 / 0.724 -> 0.688 / 0.632 -> 0.593;
-  // tiny-only merging also negative) and ships OFF (merge_frac = 0.0) —
-  // the env knob is a probe lever only; trail in STATUS.md.
+  // projection stays injective). History: round 4 measured this pass net
+  // negative and shipped it off, but those numbers were corrupted by the
+  // incomplete-pack overlap bug (fixed round 5) AND used a foldable 0.5
+  // tiny-merge floor; honest round-5 re-measurement on a 593k-tri
+  // trained-SDF mesh reads 0.682 -> 0.699 utilization at merge 0.002
+  // with the 0.8 floor (2749 vs 3614 charts, 6x faster pack). The Python
+  // portfolio (texture/native.py) now runs merge-on and merge-off arms
+  // and keeps the denser result; trail in STATUS.md.
+  // merge_frac comes from the caller (the Python portfolio runs arms at
+  // 0.0 and 0.002); RT_ATLAS_MERGE_FRAC still overrides for probes
   const char* mf_env = std::getenv("RT_ATLAS_MERGE_FRAC");
-  const double merge_frac = mf_env ? std::atof(mf_env) : 0.0;
+  const double merge_frac = mf_env ? std::atof(mf_env)
+                                   : (double)merge_frac_arg;
   if (merge_frac > 0.0) {
     std::vector<double> cn(3 * (size_t)n_charts, 0.0), carea(n_charts, 0.0);
     for (int t = 0; t < n_tris; t++) {

@@ -58,6 +58,7 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.c_int,
             ctypes.c_float, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float,  # merge_frac (tiny-chart merge threshold)
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int)),
         ]
@@ -130,20 +131,29 @@ def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
                        normal_thresh: float | None = None,
                        padding_px: int = 4,
                        atlas_res: int = 2048,
-                       chart_mode: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
+                       chart_mode: int = 0,
+                       merge_frac: float | None = None,
+                       ) -> tuple[np.ndarray, np.ndarray, int]:
     """UV-parameterize a mesh (xatlas equivalent; ref
     model/texture_model.py:14-21).
 
-    ``normal_thresh`` None (default) tries {0.55, 0.6, 0.65, 0.75} and
-    keeps the parameterization with the higher triangle-area utilization
-    — the packing outcome is noisy (+-0.03) in the chart granularity and
-    no value dominates across meshes (round-4 7-point sweep: sphere best
-    at 0.65/0.694, two_sphere at 0.55/0.729, noisy-bump at 0.60/0.646;
-    every STRUCTURAL de-fragmentation lever — chart merging, min-rect
-    rotation, boundary relocation, stronger smoothing, finer splitting —
-    measured NET NEGATIVE, see tools/atlas_trained_probe.py). Best-of-K
-    harvests the noise deterministically; the atlas is a cached
-    bake-time op, so the extra runs cost seconds once.
+    ``normal_thresh`` None (default) runs a best-of portfolio: thresholds
+    {0.55, 0.6, 0.65, 0.75} x tiny-chart merge {off, 0.002}, keeping the
+    parameterization with the higher triangle-area utilization — the
+    packing outcome is noisy (+-0.03) in the chart granularity and no
+    value dominates across meshes (sphere best at 0.65, two_sphere at
+    0.55, noisy-bump at 0.60). The merge arm is the big lever on
+    TRAINED-SDF meshes, whose residual normal noise fragments growth:
+    round-5 honest re-measurement (after fixing the incomplete-pack
+    overlap bug that had corrupted the r4 probe numbers) reads a fresh
+    593k-tri trained mesh at 0.682 merge-off vs 0.699 at merge 0.002
+    with injectivity-safe 0.8 confidence — and the merge arms run ~6x
+    faster (packing is chart-count-bound), so the portfolio costs ~15%
+    extra. Analytic meshes prefer merge-off (noisy-bump 0.624 vs 0.619);
+    best-of picks per mesh. Other shaping levers (min-rect rotation,
+    boundary relocation, stronger smoothing, finer splitting) measured
+    net negative or mixed and stay env-gated probes
+    (tools/atlas_trained_probe.py, STATUS.md trail).
 
     ``chart_mode`` 0 (default) grows charts against the area-weighted
     running-mean normal over smoothed face normals; 1 clusters faces by
@@ -155,16 +165,19 @@ def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
     """
     if normal_thresh is None:
         best = None
-        for th in (0.55, 0.6, 0.65, 0.75):
-            uv, idx, nc = atlas_parameterize(verts, tris, th, padding_px,
-                                             atlas_res, chart_mode)
-            tri_uv = uv.reshape(-1, 3, 2)
-            e1 = tri_uv[:, 1] - tri_uv[:, 0]
-            e2 = tri_uv[:, 2] - tri_uv[:, 0]
-            util = float(np.abs(e1[:, 0] * e2[:, 1]
-                                - e1[:, 1] * e2[:, 0]).sum() * 0.5)
-            if best is None or util > best[0]:
-                best = (util, uv, idx, nc)
+        merge_arms = (0.0, 0.002) if merge_frac is None else (merge_frac,)
+        for mf in merge_arms:
+            for th in (0.55, 0.6, 0.65, 0.75):
+                uv, idx, nc = atlas_parameterize(verts, tris, th,
+                                                 padding_px, atlas_res,
+                                                 chart_mode, mf)
+                tri_uv = uv.reshape(-1, 3, 2)
+                e1 = tri_uv[:, 1] - tri_uv[:, 0]
+                e2 = tri_uv[:, 2] - tri_uv[:, 0]
+                util = float(np.abs(e1[:, 0] * e2[:, 1]
+                                    - e1[:, 1] * e2[:, 0]).sum() * 0.5)
+                if best is None or util > best[0]:
+                    best = (util, uv, idx, nc)
         return best[1], best[2], best[3]
     lib = _load()
     verts = np.ascontiguousarray(verts, np.float32)
@@ -174,6 +187,7 @@ def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
     n_charts = lib.atlas_parameterize(
         _fptr(verts), verts.shape[0], _iptr(tris), tris.shape[0],
         ctypes.c_float(normal_thresh), padding_px, atlas_res, chart_mode,
+        ctypes.c_float(merge_frac or 0.0),
         ctypes.byref(uv_p), ctypes.byref(idx_p))
     if n_charts < 0:
         raise RuntimeError("atlas_parameterize failed")

@@ -379,3 +379,52 @@ class TestManualGradient:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestOutColsSlice:
+    """sdf_value / NeuS.sdf restrict the head to the sdf column
+    (fields/sdf.py _slice_out_cols) — exact column slicing up to matmul
+    reassociation; bit-exact under bf16 storage."""
+
+    def test_fp32_reassociation_close(self):
+        import dataclasses
+        cfg = sdf_mod.SDFConfig(d_out=33, d_hidden=32, n_layers=3,
+                                skip_in=(), multires=3)
+        params = sdf_mod.init_sdf(jax.random.PRNGKey(0), cfg)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 3)),
+                        jnp.float32) * 0.5
+        full = sdf_mod.sdf_apply(params, cfg, x)
+        sliced = sdf_mod.sdf_apply(params, cfg, x, out_cols=1)
+        assert sliced.shape == (64, 1)
+        np.testing.assert_allclose(np.asarray(sliced),
+                                   np.asarray(full[..., :1]),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(sdf_mod.sdf_value(params, cfg, x)),
+            np.asarray(sliced))
+
+    def test_bf16_storage_bit_exact(self):
+        import dataclasses
+        cfg = sdf_mod.SDFConfig(d_out=33, d_hidden=32, n_layers=3,
+                                skip_in=(), multires=3,
+                                storage_dtype="bfloat16")
+        params = sdf_mod.init_sdf(jax.random.PRNGKey(1), cfg)
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((64, 3)),
+                        jnp.float32) * 0.5
+        full = sdf_mod.sdf_apply(params, cfg, x)
+        sliced = sdf_mod.sdf_apply(params, cfg, x, out_cols=1)
+        np.testing.assert_array_equal(np.asarray(sliced),
+                                      np.asarray(full[..., :1]))
+
+    def test_skip_at_head_layer(self):
+        # out_cols must compose with a skip connection AT the head layer
+        cfg = sdf_mod.SDFConfig(d_out=17, d_hidden=16, n_layers=3,
+                                skip_in=(2, 3), multires=2)
+        params = sdf_mod.init_sdf(jax.random.PRNGKey(2), cfg)
+        x = jnp.asarray(np.random.default_rng(2).standard_normal((8, 3)),
+                        jnp.float32) * 0.5
+        full = sdf_mod.sdf_apply(params, cfg, x)
+        sliced = sdf_mod.sdf_apply(params, cfg, x, out_cols=1)
+        np.testing.assert_allclose(np.asarray(sliced),
+                                   np.asarray(full[..., :1]),
+                                   rtol=1e-4, atol=1e-6)

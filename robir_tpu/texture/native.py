@@ -127,6 +127,30 @@ def rasterize_attributes(uv: np.ndarray, tris: np.ndarray, attrs: np.ndarray,
     return img, mask
 
 
+def _warn_if_overlapping(util: float, uv: np.ndarray, res: int = 1024,
+                         floor: float = 0.90) -> float:
+    """Cheap overlap tripwire on the winning parameterization.
+
+    The |triangle area| utilization metric cannot see overlapping charts
+    — the round-5 incomplete-pack bug produced atlases whose corrupt
+    packs *scored higher* (STATUS.md). Rasterize the UV union and warn
+    when covered/union falls well below the summed area (rasterization
+    undercounts tiny charts slightly, hence the loose floor). Returns
+    the union ratio."""
+    n = uv.shape[0] // 3
+    tris = np.arange(n * 3, dtype=np.int32).reshape(-1, 3)
+    _, cov = rasterize_attributes(uv, tris, np.ones((n * 3, 1), np.float32),
+                                  res, res)
+    ratio = float(cov.sum()) / (res * res) / max(util, 1e-9)
+    if ratio < floor:
+        import sys
+        print(f"WARNING: atlas UV union covers only {ratio:.2f} of the "
+              f"summed triangle area — charts overlap; the texture bake "
+              f"will bleed (atlas_parameterize internal error)",
+              file=sys.stderr, flush=True)
+    return ratio
+
+
 def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
                        normal_thresh: float | None = None,
                        padding_px: int = 4,
@@ -178,6 +202,7 @@ def atlas_parameterize(verts: np.ndarray, tris: np.ndarray,
                                     - e1[:, 1] * e2[:, 0]).sum() * 0.5)
                 if best is None or util > best[0]:
                     best = (util, uv, idx, nc)
+        _warn_if_overlapping(best[0], best[1])
         return best[1], best[2], best[3]
     lib = _load()
     verts = np.ascontiguousarray(verts, np.float32)

@@ -87,6 +87,8 @@ def main():
                     help="rescale the stage-1 mesh before Norm (0.5 "
                          "reproduces the pre-r4 coordinate bug)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--iters", action="append", default=[],
+                    help="stage=count override, e.g. --iters cesr=1800")
     args = ap.parse_args()
 
     from robir_tpu import cli
@@ -120,9 +122,16 @@ def main():
         common += ["--set", ov]
     n_iters = {"norm": conf["norm"]["max_iters"], "vis": 800, "pbr": 2000,
                "cesr": 600}
+    for ov in args.iters:
+        stage, _, count = ov.partition("=")
+        n_iters[stage] = int(count)
+    result_iters = dict(n_iters)
 
     result = {"name": args.name, "overrides": args.overrides,
-              "mesh_scale": args.mesh_scale, "from": args.from_stage}
+              "mesh_scale": args.mesh_scale, "from": args.from_stage,
+              "iters": {s: result_iters[s]
+                        for s in STAGE_ORDER[STAGE_ORDER.index(
+                            args.from_stage):]}}
     start = STAGE_ORDER.index(args.from_stage)
     for stage in STAGE_ORDER[start:]:
         argv = [stage, *common, "--n_iters", str(n_iters[stage])]

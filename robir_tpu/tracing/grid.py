@@ -55,10 +55,13 @@ class GridConfig:
     # 4-row layout (closure-mode timing): 4 -> 67.9, 8 -> 59.6,
     # 16 -> 66.4, 24 -> 82.9. Round 4 re-sweep under the quad layout
     # with argument-mode timing: 2 -> 60.2, 4 -> 61.5/61.9, 6 -> 69.9,
-    # 8 -> 73.6-75.0, 16 -> 108.3 — quad makes compacted tail chunks
-    # cheaper, so sorting earlier wins; 4 sits mid-plateau (2 is within
-    # run noise) and is safer across ray populations than 2.
-    compact_after: int = 4
+    # 8 -> 73.6-75.0, 16 -> 108.3. Round 5, on the CANONICAL workload
+    # (tools/vis_workload.py: the procedural camera batch, 18% surface)
+    # with the interleaved 2-process protocol: 2 -> 61.1, 4 -> 65.3,
+    # 8 -> 78.9 (spreads in docs/ROOFLINE_VIS.md) — quad makes compacted
+    # tail chunks cheaper, so sorting earlier wins consistently; 2 is the
+    # measured optimum on the workload the runners actually produce.
+    compact_after: int = 2
     compact_chunk: int = 4096
     # Blocked z-gathers: gather 128-wide z-blocks instead of full R-wide
     # z-rows (overlapping blocks strided by 127 so any (z0, z0+1) pair

@@ -97,11 +97,18 @@ def main():
     merged = {s: [] for s in specs}
     obj_frac = None
     for p in range(args.procs):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), args.specs,
-             "--child", "--steps", str(args.steps), "--reps",
-             str(args.reps)],
-            capture_output=True, text=True, timeout=args.timeout)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), args.specs,
+                 "--child", "--steps", str(args.steps), "--reps",
+                 str(args.reps)],
+                capture_output=True, text=True, timeout=args.timeout)
+        except subprocess.TimeoutExpired:
+            # the relay wedges for minutes-to-hours at a time; a hung
+            # child must not kill the whole sweep — later procs may land
+            print(f"proc {p}: timed out after {args.timeout}s",
+                  file=sys.stderr)
+            continue
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if proc.returncode != 0 or not lines:
             print(f"proc {p}: rc={proc.returncode} "

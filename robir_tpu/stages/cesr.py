@@ -67,6 +67,15 @@ class CESRStageConfig:
     compact_chunk: int = 128
     compact_max_surface_frac: float = 0.6
     guard_every: int = 8
+    # scales the diffuse-visibility supervision (the KL anchoring
+    # shadow_net_vis to the Vis-stage sampled visibility). 1.0 keeps the
+    # reference weighting (train_cesr.py:397-403 factors). The round-5
+    # drift study measured the shadow/lit albedo ratio GROWING with CESR
+    # iterations (1.169 @ 600 -> 1.280 @ 1800 on the plain scene) as the
+    # rgb term pulls the shadow net to suppress ambient lobes at shadow
+    # points past physical occlusion (tools/cesr_diag.py: all-lobe vis
+    # 0.25 in shadow); raising this anchors harder.
+    sv_weight: float = 1.0
 
     @property
     def shadow_cfg(self) -> SDFConfig:
@@ -284,9 +293,10 @@ def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
                 w1 = w[:, None]
                 sv = sv + jnp.sum(w1 * out["normal_sq"]) / jnp.clip(
                     jnp.sum(w1) * 3, 1.0, None)
-                total = sv
+                total = sv * stage_cfg.sv_weight
             else:
-                total = out["supervise"]  # sv_loss (train_cesr.py:433)
+                # sv_loss (train_cesr.py:433)
+                total = out["supervise"] * stage_cfg.sv_weight
             metrics["sv_loss"] = total
 
             if use_rgb_loss:

@@ -392,13 +392,14 @@ def main_neus():
         cfg,
         sdf=dataclasses.replace(cfg.sdf, storage_dtype="bfloat16"),
         color=dataclasses.replace(cfg.color, storage_dtype="bfloat16"))
-    # up_sample_steps=2 is the SHIPPED config (configs/neus_blender.json):
-    # total importance samples unchanged (64, final 128-sample render);
-    # the reference's 4 rounds are a config, not physics, and the 2-round
-    # schedule measured quality-identical in the 1500-step A/B
-    # (tools/neus_upsample_ab.py: PSNR 20.50 vs 20.49, mesh err 0.0210
-    # vs 0.0223) while cutting sequential sampling rounds
-    rcfg = NeusRenderConfig(n_samples=64, n_importance=64, up_sample_steps=2)
+    # 4 rounds = the reference constants. A 2-round variant (same 64
+    # importance samples) measured quality-IDENTICAL at 1500 steps
+    # (tools/neus_upsample_ab.py: PSNR 20.50 vs 20.49) but cost 0.73 dB
+    # at the full 4000-step schedule (24.15 vs 24.88, paired run) — the
+    # short A/B was too short to see it, so the 2-round ship was
+    # REVERTED; it remains a config option where eval speed matters
+    # (halves forward-only render passes).
+    rcfg = NeusRenderConfig(n_samples=64, n_importance=64, up_sample_steps=4)
     params = init_neus(jax.random.PRNGKey(0), cfg)
     opt = optax.adam(5e-4)
     opt_state = opt.init(params)

@@ -88,7 +88,7 @@ def conf_dict(fast: bool) -> dict:
             "grid": {"resolution": 224, "bbox_min": [-0.45] * 3,
                      "bbox_max": [0.45] * 3, "quad_rows": True},
         },
-        "render": {"n_samples": 64, "n_importance": 64, "up_sample_steps": 2,
+        "render": {"n_samples": 64, "n_importance": 64, "up_sample_steps": 4,
                    "white_bkgd": True},
         "train": {"batch_size": 512, "max_steps": 4000, "lr_init": 5e-4,
                   "lr_delay_steps": 500, "anneal_end": 1000,

@@ -318,13 +318,20 @@ class SGRenderOutput(NamedTuple):
 
 
 def kl_divergence(x: jnp.ndarray, mu: float = 0.05,
-                  weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  weight: Optional[jnp.ndarray] = None,
+                  lobe_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Bernoulli KL sparsity penalty (reference ``utils/utils.py:14-17``):
     mean activation over the batch axis vs target rate ``mu``.
 
     ``weight`` ([N] float) makes the batch mean a weighted mean — the dense
     equivalent of the reference evaluating this at boolean-masked surface
-    points only (the masked weighted mean equals the mean over the subset)."""
+    points only (the masked weighted mean equals the mean over the subset).
+
+    ``lobe_weight`` (shape of the post-batch-mean rate, e.g. [M] for a
+    per-light supervision matrix) reweights the FINAL mean over lobes —
+    normalized to mean 1 so the overall magnitude stays comparable. Used
+    by the CESR ambient-anchor experiment (weight broad lobes harder);
+    None keeps the reference's uniform mean."""
     if weight is None:
         rho_hat = jnp.mean(x, axis=0)
     else:
@@ -332,8 +339,12 @@ def kl_divergence(x: jnp.ndarray, mu: float = 0.05,
         rho_hat = jnp.sum(x * w, axis=0) / jnp.clip(jnp.sum(w, axis=0), 1.0,
                                                     None)
     rho = mu
-    return jnp.mean(rho * jnp.log(rho / (rho_hat + 1e-4))
-                    + (1 - rho) * jnp.log((1 - rho) / (1 - rho_hat + 1e-4)))
+    kl = (rho * jnp.log(rho / (rho_hat + 1e-4))
+          + (1 - rho) * jnp.log((1 - rho) / (1 - rho_hat + 1e-4)))
+    if lobe_weight is None:
+        return jnp.mean(kl)
+    lw = lobe_weight / jnp.clip(jnp.mean(lobe_weight), 1e-9, None)
+    return jnp.mean(kl * lw)
 
 
 def specular_sg(normal: jnp.ndarray, viewdirs: jnp.ndarray, roughness: jnp.ndarray,

@@ -67,6 +67,16 @@ class CESRStageConfig:
     compact_chunk: int = 128
     compact_max_surface_frac: float = 0.6
     guard_every: int = 8
+    # ambient_anchor > 0 reweights the diffuse-vis KL per LIGHT LOBE:
+    # broad (small-lambda, ambient-carrying) lobes get weight
+    # 1 + ambient_anchor / (1 + lambda), sharp lobes ~1. Motivated by the
+    # round-5 drift mechanism (tools/cesr_diag.py): the shadow net's cast-
+    # shadow detection on the KEY lobes is correct, but it over-suppresses
+    # the broad ambient lobes at shadow points (all-lobe vis 0.25 vs ~1
+    # physical) — anchoring exactly those lobes harder to the sampled
+    # visibility targets the failure without touching the key-lobe
+    # dynamics. 0.0 = reference weighting (uniform lobe mean).
+    ambient_anchor: float = 0.0
     # scales the diffuse-visibility supervision (the KL anchoring
     # shadow_net_vis to the Vis-stage sampled visibility). 1.0 keeps the
     # reference weighting (train_cesr.py:397-403 factors). The round-5
@@ -285,8 +295,14 @@ def make_cesr_step(cfg: Stage2Config, stage_cfg: CESRStageConfig,
                 # dense computation (miss rows carry weight 0)
                 w = out["surface_mask"].astype(jnp.float32)
                 factor = {"warmup": 0.1, "project": 0.2}.get(prefit, 1.0)
+                lobe_w = None
+                if stage_cfg.ambient_anchor > 0:
+                    lam = jnp.abs(jax.lax.stop_gradient(
+                        params["envmap_material_network"]["lgtSGs"][:, 3]))
+                    lobe_w = 1.0 + stage_cfg.ambient_anchor / (1.0 + lam)
                 sv = sg_lib.kl_divergence(out["supervise_x"], 0.01,
-                                          weight=w) * factor
+                                          weight=w,
+                                          lobe_weight=lobe_w) * factor
                 if stage_cfg.white_light and prefit != "warmup":
                     sv = sv + white_loss(
                         params["envmap_material_network"]["lgtSGs"])
